@@ -116,8 +116,12 @@ class BlockBuilder:
         self._emit(E.StoreE(ptr, tuple(vals)))
         return ptr
 
-    def load(self, ptr: E.Var, out_sizes: Sequence[int]):
-        outs = tuple(self._fresh(s, "ld") for s in out_sizes)
+    def load(self, ptr: E.Var, out_sizes: Sequence[int], names=None):
+        if names is None:
+            outs = tuple(self._fresh(s, "ld") for s in out_sizes)
+        else:
+            outs = tuple(E.Var(f"{n}%{id(self)}", s)
+                         for n, s in zip(names, out_sizes))
         self._emit(E.LoadE(outs, ptr))
         return outs
 
