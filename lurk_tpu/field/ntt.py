@@ -1,0 +1,148 @@
+"""Radix-2 NTT / coset LDE over BabyBear, column-batched for TPU.
+
+Design notes:
+  * Operates on (n, width) matrices, butterflies along axis 0, all columns in
+    parallel - width rides the VPU lanes.
+  * Twiddles are precomputed per stage in Montgomery form and passed as
+    device arrays (mont_mul(canonical, mont) keeps data canonical for free).
+  * Natural-order domains everywhere: the trace domain is g^i in row order;
+    the LDE domain is shift*k^j in row order. FRI folding pairs rows
+    (i, i + N/2) since x_{i+N/2} = -x_i in natural order - no bit-reversal
+    permutations anywhere (a deliberate divergence from the reference stack's
+    bit-reversed layout; SURVEY.md section 7 hard part (d)).
+
+Replaces the reference's Plonky3 Radix2Dit + coset shift machinery
+(SURVEY.md section 2.10).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import babybear as bb
+
+GENERATOR = bb.GENERATOR  # coset shift for LDEs (p3 convention: F::generator())
+
+
+@lru_cache(maxsize=None)
+def _stage_twiddles(log_n: int, inverse: bool):
+    """Tuple of per-stage Montgomery-form twiddle arrays for a DIT NTT.
+
+    Stage s (s = 0..log_n-1) has half-block size m = 2^s and uses twiddles
+    w^(j * n/(2m)) for j in 0..m.
+    """
+    n = 1 << log_n
+    w = bb.two_adic_generator_s(log_n)
+    if inverse:
+        w = bb.inv_s(w)
+    # full twiddle table w^0..w^(n/2-1)
+    half = n // 2
+    tw = np.empty(max(half, 1), np.uint32)
+    acc = 1
+    for i in range(max(half, 1)):
+        tw[i] = acc
+        acc = (acc * w) % bb.P
+    stages = []
+    for s in range(log_n):
+        m = 1 << s
+        step = n // (2 * m)
+        stages.append(bb.np_to_mont(tw[: half : step][:m].copy()))
+    return tuple(stages)
+
+
+@lru_cache(maxsize=None)
+def _bitrev_perm(log_n: int):
+    n = 1 << log_n
+    idx = np.arange(n)
+    rev = np.zeros(n, np.int64)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+@partial(jax.jit, static_argnames=("log_n",))
+def _ntt_kernel(mat, perm, twiddles, log_n: int):
+    n = 1 << log_n
+    x = mat[perm]  # bit-reversed input -> natural-order output
+    for s in range(log_n):
+        m = 1 << s
+        tw = twiddles[s]  # (m,) mont form
+        blocks = x.reshape(n // (2 * m), 2, m, -1)
+        a = blocks[:, 0]
+        b_ = blocks[:, 1]
+        tb = bb.mont_mul(b_, tw[None, :, None])
+        top = bb.fadd(a, tb)
+        bot = bb.fsub(a, tb)
+        x = jnp.stack([top, bot], axis=1).reshape(n, -1)
+    return x
+
+
+def ntt(mat, inverse: bool = False):
+    """Column-batched NTT of a (n, w) uint32 matrix; natural order in/out.
+
+    Forward: values on H -> coefficients? No - convention: `ntt` maps
+    *coefficients* -> *evaluations* on H (row i = eval at g^i).
+    Use `intt` for evaluations -> coefficients.
+    """
+    n = mat.shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    if n == 1:
+        return jnp.asarray(mat)
+    perm = jnp.asarray(_bitrev_perm(log_n))
+    tw = tuple(jnp.asarray(t) for t in _stage_twiddles(log_n, inverse))
+    return _ntt_kernel(jnp.asarray(mat), perm, tw, log_n)
+
+
+def intt(mat):
+    """Evaluations on H (natural order) -> coefficients."""
+    n = mat.shape[0]
+    if n == 1:
+        return jnp.asarray(mat)
+    out = ntt(mat, inverse=True)
+    n_inv = bb.inv_s(n % bb.P)
+    return bb.mont_mul(out, jnp.uint32((n_inv * bb.R_MOD_P) % bb.P))
+
+
+@lru_cache(maxsize=None)
+def _shift_powers(log_n: int, shift: int):
+    n = 1 << log_n
+    pw = np.empty(n, np.uint32)
+    acc = 1
+    for i in range(n):
+        pw[i] = acc
+        acc = (acc * shift) % bb.P
+    return bb.np_to_mont(pw)
+
+
+def coset_eval(coeffs, log_blowup: int, shift: int = GENERATOR):
+    """Coefficients (n rows) -> evaluations on the coset shift*K, |K| =
+    n * 2^log_blowup, natural order."""
+    n = coeffs.shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    big_log = log_n + log_blowup
+    big_n = 1 << big_log
+    padded = jnp.zeros((big_n, coeffs.shape[1]), jnp.uint32)
+    padded = padded.at[:n].set(coeffs)
+    sp = jnp.asarray(_shift_powers(big_log, shift))
+    shifted = bb.mont_mul(padded, sp[:, None])
+    return ntt(shifted)
+
+
+def lde(mat, log_blowup: int, shift: int = GENERATOR):
+    """Evaluations on H -> evaluations on the blown-up coset (the LDE)."""
+    return coset_eval(intt(mat), log_blowup, shift)
+
+
+# --- slow scalar oracles ----------------------------------------------------
+
+def eval_poly_s(coeffs, x: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + int(c)) % bb.P
+    return acc

@@ -1,0 +1,158 @@
+"""LogUp permutation AIR constraints (prover quotient + verifier point eval).
+
+Constraint order (must match between eval_perm_quotient_np and
+eval_perm_at_point; the machine folds them after the base constraints):
+  per batch b: phi_b * prod(d) - sum_i m_i * prod(d_other)
+  first row:   S - sum_b phi_b
+  transition:  S_next - S - sum_b phi_b(next)
+  last row:    S - cumulative_sum
+(reference sketch: src/logup/air.rs:11-108)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..field import babybear as bb
+from ..field import ext_np as E
+from ..field import ext as ext_s
+from ..air.symbolic import SymbolicBuilder
+from ..stark.eval import DomainEvalCtx, PointEvalCtx
+from .trace import interaction_batches, gamma_powers, _signed_mult, _fingerprint
+
+U = np.uint64
+_P = U(bb.P)
+
+
+def eval_perm_quotient_np(builder: SymbolicBuilder, ctx: DomainEvalCtx,
+                          perm: np.ndarray, r, gamma, cumulative_sum,
+                          sels_ext=None) -> List[np.ndarray]:
+    """Ext-valued constraint arrays over the evaluation domain.
+
+    `perm` is the (domain_h, 4*(B+1)) base matrix of the permutation trace
+    evaluated over the same domain as ctx.main. Selector values come from
+    ctx.sels (base field on a coset domain).
+    """
+    h = perm.shape[0]
+    stride = ctx.rot_stride()
+    batches = interaction_batches(builder)
+    nb = len(batches)
+    max_vals = max((len(i.values) for i in builder.interactions), default=0)
+    gpows = gamma_powers(gamma, max_vals)
+
+    def phi(b, rot=0):
+        block = perm[:, 4 * b:4 * b + 4]
+        return block if rot == 0 else np.roll(block, -stride, axis=0)
+
+    s_col = perm[:, 4 * nb:4 * nb + 4]
+    s_next = np.roll(s_col, -stride, axis=0)
+
+    out: List[np.ndarray] = []
+    for b, batch in enumerate(batches):
+        ms = [E.from_base(_signed_mult(i, ctx)) for i in batch]
+        ds = [_fingerprint(i, ctx, r, gpows) for i in batch]
+        lhs = phi(b)
+        for d in ds:
+            lhs = E.emul(lhs, d)
+        rhs = E.zero((h,))
+        for i, m in enumerate(ms):
+            term = m
+            for j, d in enumerate(ds):
+                if j != i:
+                    term = E.emul(term, d)
+            rhs = E.eadd(rhs, term)
+        out.append(E.esub(lhs, rhs))
+
+    total_phi = E.zero((h,))
+    total_phi_next = E.zero((h,))
+    for b in range(nb):
+        total_phi = E.eadd(total_phi, phi(b))
+        total_phi_next = E.eadd(total_phi_next, phi(b, rot=1))
+
+    first = E.from_base(ctx.sels["first"])
+    last = E.from_base(ctx.sels["last"])
+    trans = E.from_base(ctx.sels["transition"])
+    cum = E.from_scalar(cumulative_sum, (h,))
+
+    out.append(E.emul(first, E.esub(s_col, total_phi)))
+    out.append(E.emul(trans, E.esub(E.esub(s_next, s_col), total_phi_next)))
+    out.append(E.emul(last, E.esub(s_col, cum)))
+    return out
+
+
+def eval_perm_at_point(builder: SymbolicBuilder, pctx: PointEvalCtx,
+                       perm_local: List[tuple], perm_next: List[tuple],
+                       r, gamma, cumulative_sum) -> List[tuple]:
+    """Scalar ext constraint values at zeta from opened values.
+
+    perm_local/perm_next: the opened values of the 4*(B+1) base columns of
+    the permutation trace (each an ext tuple); an extension column's value is
+    recombined as sum_l col_l * X^l.
+    """
+    batches = interaction_batches(builder)
+    nb = len(batches)
+    max_vals = max((len(i.values) for i in builder.interactions), default=0)
+    gpows = gamma_powers(gamma, max_vals)
+
+    def recombine(cols4):
+        acc = (0, 0, 0, 0)
+        x_pow = (1, 0, 0, 0)
+        gen = (0, 1, 0, 0)
+        for c in cols4:
+            acc = ext_s.eadd_s(acc, ext_s.emul_s(c, x_pow))
+            x_pow = ext_s.emul_s(x_pow, gen)
+        return acc
+
+    def phi(b, rot=0):
+        cols = perm_local if rot == 0 else perm_next
+        return recombine(cols[4 * b:4 * b + 4])
+
+    s_val = recombine(perm_local[4 * nb:4 * nb + 4])
+    s_next = recombine(perm_next[4 * nb:4 * nb + 4])
+
+    def fingerprint(inter):
+        d = r
+        for j, v in enumerate(inter.values):
+            d = ext_s.eadd_s(d, ext_s.emul_s(gpows[j + 1], pctx.eval(v)))
+        return d
+
+    def signed_mult(inter):
+        m = pctx.eval(inter.mult)
+        if inter.kind == "receive":
+            m = ext_s.esub_s((0, 0, 0, 0), m)
+        return m
+
+    out = []
+    for b, batch in enumerate(batches):
+        ms = [signed_mult(i) for i in batch]
+        ds = [fingerprint(i) for i in batch]
+        lhs = phi(b)
+        for d in ds:
+            lhs = ext_s.emul_s(lhs, d)
+        rhs = (0, 0, 0, 0)
+        for i, m in enumerate(ms):
+            term = m
+            for j, d in enumerate(ds):
+                if j != i:
+                    term = ext_s.emul_s(term, d)
+            rhs = ext_s.eadd_s(rhs, term)
+        out.append(ext_s.esub_s(lhs, rhs))
+
+    total_phi = (0, 0, 0, 0)
+    total_phi_next = (0, 0, 0, 0)
+    for b in range(nb):
+        total_phi = ext_s.eadd_s(total_phi, phi(b))
+        total_phi_next = ext_s.eadd_s(total_phi_next, phi(b, rot=1))
+
+    first = pctx.sels["first"]
+    last = pctx.sels["last"]
+    trans = pctx.sels["transition"]
+    cum = tuple(cumulative_sum)
+
+    out.append(ext_s.emul_s(first, ext_s.esub_s(s_val, total_phi)))
+    out.append(ext_s.emul_s(
+        trans, ext_s.esub_s(ext_s.esub_s(s_next, s_val), total_phi_next)))
+    out.append(ext_s.emul_s(last, ext_s.esub_s(s_val, cum)))
+    return out

@@ -1,0 +1,84 @@
+"""Hashing primitives for the STARK config: Poseidon2 width-16 sponge.
+
+Equivalent role to the reference's BabyBearPoseidon2 config hashers
+(SURVEY.md section 2.10): leaf hashing = padding-free sponge (rate 8,
+output 8), node compression = truncated permutation over [left || right].
+Batched over rows for TPU; python scalar versions for the challenger.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import babybear as bb
+from ..poseidon import perm as pperm
+from ..poseidon import ref as pref
+
+WIDTH = 16
+RATE = 8
+DIGEST = 8
+
+
+def permute_batch(states):
+    """(batch, 16) canonical -> (batch, 16)."""
+    return pperm.permute(states)
+
+
+@jax.jit
+def _absorb_block(state_T, block_T):
+    # state (16, n), block (8, n): overwrite rate portion then permute
+    st = state_T.at[:RATE].set(block_T)
+    st = bb.to_mont(st)
+    st = pperm.permute_mont(st)
+    return bb.from_mont(st)
+
+
+def hash_rows(mat) -> jnp.ndarray:
+    """Hash each row of (n, w) canonical uint32 -> (n, 8) digests.
+
+    Padding-free sponge: rows are chunked by RATE; a final partial chunk is
+    zero-padded. All rows have equal width so the sponge schedule is static.
+    """
+    mat = jnp.asarray(mat)
+    n, w = mat.shape
+    state = jnp.zeros((WIDTH, n), jnp.uint32)
+    if w == 0:
+        st = bb.from_mont(pperm.permute_mont(bb.to_mont(state)))
+        return st[:DIGEST].T
+    pad = (-w) % RATE
+    if pad:
+        mat = jnp.concatenate([mat, jnp.zeros((n, pad), jnp.uint32)], axis=1)
+    matT = mat.T  # (w', n)
+    for c in range(0, w + pad, RATE):
+        state = _absorb_block(state, matT[c:c + RATE])
+    return state[:DIGEST].T
+
+
+@jax.jit
+def compress_pairs(left, right):
+    """(n, 8), (n, 8) -> (n, 8): truncated permutation of [left || right]."""
+    st = jnp.concatenate([left, right], axis=1)  # (n, 16)
+    return pperm.permute(st)[:, :DIGEST]
+
+
+# --- scalar versions (transcript / verifier) -------------------------------
+
+def hash_row_s(values) -> tuple:
+    state = [0] * WIDTH
+    values = list(values)
+    if not values:
+        return tuple(pref.permute_s(state)[:DIGEST])
+    for c in range(0, len(values), RATE):
+        chunk = [int(v) % bb.P for v in values[c:c + RATE]]
+        chunk += [0] * (RATE - len(chunk))  # zero-pad (matches hash_rows)
+        state[:RATE] = chunk
+        state = pref.permute_s(state)
+    return tuple(state[:DIGEST])
+
+
+def compress_s(left, right) -> tuple:
+    state = list(left) + list(right)
+    assert len(state) == WIDTH
+    return tuple(pref.permute_s(state)[:DIGEST])

@@ -1,0 +1,262 @@
+"""Multi-matrix polynomial commitment scheme (TwoAdicFriPcs equivalent).
+
+commit: LDE every matrix (blowup 2, generator-shifted coset, natural order);
+matrices of equal height share one Merkle tree, so a FRI query at natural
+index q opens the size-H tree at q mod H (natural-order folding keeps *low*
+bits, so same-height grouping sidesteps the bit-reversal the reference stack
+needs for its mixed-height commitments).
+
+open: compute opened values f_j(z), then reduce everything to one extension
+codeword per LDE size:
+
+    ro_H(x) = sum_{mat, point z, col j} alpha^cnt * (f_j(x) - f_j(z)) / (x - z)
+
+and run batch-FRI over the ro codewords; queries open the round trees so the
+verifier can recompute ro_H pointwise.
+
+(SURVEY.md section 2.10; the reference gets this from sphinx/p3.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..field import babybear as bb
+from ..field import ext_np as E
+from ..field import ext as ext_s
+from ..field.ntt import GENERATOR, intt, lde as ntt_lde
+from . import fri, merkle
+from .challenger import Challenger
+from .fri import FriConfig, geom_powers
+
+U = np.uint64
+_P = U(bb.P)
+
+LOG_BLOWUP = 1
+
+
+def matmul_mod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n,k) @ (k,m) mod p with 16-bit splitting (int64-safe)."""
+    a = a.astype(np.int64)
+    b = b.astype(np.int64)
+    a_lo = a & 0xFFFF
+    a_hi = a >> 16
+    return ((((a_lo @ b) % bb.P) + (((a_hi @ b) % bb.P) << 16)) % bb.P).astype(U)
+
+
+def _group_by_height(log_heights: List[int]) -> List[Tuple[int, List[int]]]:
+    """[(log_H, [matrix indices])] sorted by height desc; preserves order."""
+    groups: Dict[int, List[int]] = {}
+    for i, lh in enumerate(log_heights):
+        groups.setdefault(lh, []).append(i)
+    return sorted(groups.items(), key=lambda kv: -kv[0])
+
+
+@dataclass
+class CommittedRound:
+    matrices: List[np.ndarray]          # trace evals on H (h, w)
+    ldes: List[np.ndarray]              # LDE evals (2h, w)
+    trees: List[Tuple[int, merkle.MerkleTree]]  # [(log_H, tree)] height desc
+
+    @property
+    def roots(self) -> List[tuple]:
+        return [t.root for _, t in self.trees]
+
+    def log_heights(self) -> List[int]:
+        return [m.shape[0].bit_length() - 1 + LOG_BLOWUP for m in self.matrices]
+
+
+def commit(matrices: Sequence[np.ndarray]) -> CommittedRound:
+    mats = [np.asarray(m, U) for m in matrices]
+    ldes = [np.asarray(ntt_lde(m.astype(np.uint32), LOG_BLOWUP), U)
+            for m in mats]
+    lhs = [l.shape[0].bit_length() - 1 for l in ldes]
+    trees = []
+    for log_H, idxs in _group_by_height(lhs):
+        tree = merkle.commit([ldes[i] for i in idxs])
+        trees.append((log_H, tree))
+    return CommittedRound(mats, ldes, trees)
+
+
+def eval_at_ext_point(mat_on_h: np.ndarray, z) -> List[tuple]:
+    """f_j(z) for every column j: coeffs via intt, then <coeffs, z^i>."""
+    coeffs = np.asarray(intt(mat_on_h.astype(np.uint32)), U)  # (h, w)
+    zp = ext_powers(z, coeffs.shape[0])                       # (h, 4)
+    out = matmul_mod(coeffs.T, zp)                            # (w, 4)
+    return [tuple(int(x) for x in row) for row in out]
+
+
+def ext_powers(z, n: int) -> np.ndarray:
+    out = np.empty((n, 4), U)
+    acc = (1, 0, 0, 0)
+    for i in range(n):
+        out[i] = acc
+        acc = ext_s.emul_s(acc, z)
+    return out
+
+
+def ext_powers_from(alpha, start: int, count: int) -> np.ndarray:
+    out = np.empty((count, 4), U)
+    acc = ext_s.epow_s(alpha, start)
+    for i in range(count):
+        out[i] = acc
+        acc = ext_s.emul_s(acc, alpha)
+    return out
+
+
+@dataclass
+class PcsProof:
+    # opened values: [round][matrix][point] -> list of ext tuples (per col)
+    opened: list
+    fri_proof: fri.FriProof
+    # query_openings[q][round] = [(log_H, merkle.Opening)] height desc
+    query_openings: list
+
+
+def open_rounds(rounds: List[CommittedRound],
+                points: List[List[List[tuple]]],
+                config: FriConfig, challenger: Challenger) -> PcsProof:
+    """points[r][m] = list of ext points for matrix m of round r."""
+    opened = []
+    for rnd, rnd_points in zip(rounds, points):
+        rv = []
+        for mat, pts in zip(rnd.matrices, rnd_points):
+            mv = []
+            for z in pts:
+                ys = eval_at_ext_point(mat, z)
+                mv.append(ys)
+                for y in ys:
+                    challenger.observe_many(y)
+            rv.append(mv)
+        opened.append(rv)
+
+    alpha = challenger.sample_ext()
+
+    # reduced codewords per log-size
+    ro: Dict[int, np.ndarray] = {}
+    alpha_cnt = 0
+    for rnd, rnd_points, rnd_opened in zip(rounds, points, opened):
+        for lde_mat, pts, mat_opened in zip(rnd.ldes, rnd_points, rnd_opened):
+            H, w = lde_mat.shape
+            log_h = H.bit_length() - 1
+            xs = geom_powers(bb.two_adic_generator_s(log_h), H, GENERATOR)
+            for z, ys in zip(pts, mat_opened):
+                apows = ext_powers_from(alpha, alpha_cnt, w)
+                alpha_cnt += w
+                fx = matmul_mod(lde_mat, apows)     # (H, 4)
+                y_alpha = (0, 0, 0, 0)
+                for y, ap in zip(ys, apows):
+                    y_alpha = ext_s.eadd_s(
+                        y_alpha, ext_s.emul_s(y, tuple(int(v) for v in ap)))
+                num = E.esub(fx, E.from_scalar(y_alpha, (H,)))
+                xz = E.esub(E.from_base(xs), E.from_scalar(z, (H,)))
+                contrib = E.emul(num, E.einv(xz))
+                if log_h in ro:
+                    ro[log_h] = E.eadd(ro[log_h], contrib)
+                else:
+                    ro[log_h] = contrib
+
+    fri_proof = fri.prove(ro, config, challenger)
+
+    query_openings = []
+    for q in fri_proof.query_indices:
+        per_round = []
+        for rnd in rounds:
+            entries = []
+            for log_H, tree in rnd.trees:
+                idx = q % (1 << log_H)
+                entries.append((log_H, merkle.open_at(tree, idx)))
+            per_round.append(entries)
+        query_openings.append(per_round)
+    return PcsProof(opened, fri_proof, query_openings)
+
+
+def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
+                  trace_log_heights: List[List[int]],
+                  points: List[List[List[tuple]]],
+                  proof: PcsProof, config: FriConfig,
+                  challenger: Challenger) -> bool:
+    """roots[r] = per-round roots (height desc); widths/trace_log_heights
+    describe each round's matrices (trace heights; LDE adds LOG_BLOWUP)."""
+    opened = proof.opened
+    for rv, rnd_points in zip(opened, points):
+        for mv, pts in zip(rv, rnd_points):
+            if len(mv) != len(pts):
+                return False
+            for ys in mv:
+                for y in ys:
+                    challenger.observe_many(y)
+    alpha = challenger.sample_ext()
+
+    lde_lhs = [[lh + LOG_BLOWUP for lh in rnd] for rnd in trace_log_heights]
+    max_log = max(lh for rnd in lde_lhs for lh in rnd)
+
+    # group info per round (mirrors commit)
+    round_groups = [_group_by_height(rnd) for rnd in lde_lhs]
+
+    def input_value_fn(log_n: int, index: int, q_ordinal: int):
+        total = None
+        alpha_cnt = 0
+        per_round = proof.query_openings[q_ordinal]
+        for r in range(len(roots)):
+            # locate the group entry for this size (if any)
+            entry_rows = None
+            for (g_log, midxs), (e_log, opening) in zip(round_groups[r],
+                                                        per_round[r]):
+                if g_log == log_n:
+                    entry_rows = (midxs, opening)
+            group_pos = {m: gi for (g_log, ms) in round_groups[r]
+                         for gi, m in enumerate(ms) if g_log == log_n}
+            for m, w in enumerate(widths[r]):
+                pts = points[r][m]
+                if lde_lhs[r][m] != log_n:
+                    alpha_cnt += w * len(pts)
+                    continue
+                assert entry_rows is not None
+                midxs, opening = entry_rows
+                row = [int(x) % bb.P for x in opening.rows[group_pos[m]]]
+                assert len(row) == w
+                x = _domain_point(log_n, index)
+                for z, ys in zip(pts, opened[r][m]):
+                    apows = ext_powers_from(alpha, alpha_cnt, w)
+                    alpha_cnt += w
+                    fx = (0, 0, 0, 0)
+                    y_alpha = (0, 0, 0, 0)
+                    for j in range(w):
+                        ap = tuple(int(v) for v in apows[j])
+                        fx = ext_s.eadd_s(fx, ext_s.emul_s(ap, (row[j], 0, 0, 0)))
+                        y_alpha = ext_s.eadd_s(y_alpha, ext_s.emul_s(ap, ys[j]))
+                    num = ext_s.esub_s(fx, y_alpha)
+                    xz = ext_s.esub_s((x, 0, 0, 0), z)
+                    contrib = ext_s.emul_s(num, ext_s.einv_s(xz))
+                    total = contrib if total is None else ext_s.eadd_s(total, contrib)
+        return total
+
+    # verify merkle openings for every query
+    for q_ordinal, q in enumerate(proof.fri_proof.query_indices):
+        per_round = proof.query_openings[q_ordinal]
+        if len(per_round) != len(roots):
+            return False
+        for r, rnd_roots in enumerate(roots):
+            groups = round_groups[r]
+            if len(per_round[r]) != len(groups) or len(rnd_roots) != len(groups):
+                return False
+            for (log_H, midxs), root, (e_log, opening) in zip(
+                    groups, rnd_roots, per_round[r]):
+                if e_log != log_H:
+                    return False
+                idx = q % (1 << log_H)
+                heights = [1 << log_H] * len(midxs)
+                if not merkle.verify_opening(root, heights, idx, opening):
+                    return False
+
+    return fri.verify(proof.fri_proof, config, max_log, input_value_fn,
+                      challenger)
+
+
+def _domain_point(log_H: int, index: int) -> int:
+    g = bb.two_adic_generator_s(log_H)
+    return (GENERATOR * pow(g, index, bb.P)) % bb.P
