@@ -1,0 +1,90 @@
+"""Multi-chip sharding layouts for the prover.
+
+The reference is single-process (SURVEY.md section 2.11); the TPU-native
+scale-out maps:
+
+  * trace rows / Poseidon lanes  -> data-parallel shards over the mesh axis
+  * LogUp running sums           -> psum over the mesh
+  * Merkle subtree roots         -> gathered and combined on host (tiny)
+  * proof shards                 -> one (or more) per host, DCN-coarse
+
+This module provides the building blocks used by __graft_entry__'s
+dryrun_multichip and by the sharded prover entry points.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..field import babybear as bb
+from ..poseidon import perm as pperm
+from ..stark import hasher
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def sharded_permute(mesh: Mesh, states, axis: str = "shard"):
+    """Batch-parallel Poseidon2 permutation: (batch, width) sharded on batch."""
+    sharding = NamedSharding(mesh, P(axis, None))
+    states = jax.device_put(states, sharding)
+    fn = jax.jit(pperm.permute, out_shardings=sharding)
+    return fn(states)
+
+
+def sharded_leaf_hash(mesh: Mesh, mat, axis: str = "shard"):
+    """Row-sharded Merkle leaf hashing: (rows, w) -> (rows, 8) digests."""
+    sharding = NamedSharding(mesh, P(axis, None))
+    mat = jax.device_put(mat, sharding)
+    fn = jax.jit(hasher.hash_rows, out_shardings=sharding)
+    return fn(mat)
+
+
+def sharded_logup_sum(mesh: Mesh, phi_blocks, axis: str = "shard"):
+    """Global LogUp cumulative sum: per-device partial sums psum'ed over ICI.
+
+    phi_blocks: (rows, 4) base-flattened extension contributions, row-sharded.
+    Returns the (4,) global sum (replicated).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def local_sum(block):
+        # modular tree-sum of the local rows then cross-device psum.
+        s = block.astype(jnp.uint64)
+        s = jnp.sum(s, axis=0) % jnp.uint64(bb.P)
+        total = jax.lax.psum(s, axis)  # < n_devices * p, reduce once more
+        return (total % jnp.uint64(bb.P)).astype(jnp.uint32)
+
+    fn = shard_map(local_sum, mesh=mesh,
+                   in_specs=P(axis, None), out_specs=P(None))
+    sharding = NamedSharding(mesh, P(axis, None))
+    phi_blocks = jax.device_put(phi_blocks, sharding)
+    return jax.jit(fn)(phi_blocks)
+
+
+def sharded_commit_step(mesh: Mesh, trace, axis: str = "shard"):
+    """One jitted multi-chip 'prover step' over a row-sharded trace:
+    Poseidon2 leaf hashing of the rows + a LogUp-style psum reduction.
+    Used by the driver's multi-chip dry run."""
+    from jax.experimental.shard_map import shard_map
+
+    def step(block):
+        digests = hasher.hash_rows(block)
+        s = jnp.sum(digests[:, :4].astype(jnp.uint64), axis=0) % jnp.uint64(bb.P)
+        total = jax.lax.psum(s, axis) % jnp.uint64(bb.P)
+        return digests, total.astype(jnp.uint32)
+
+    fn = shard_map(step, mesh=mesh, in_specs=P(axis, None),
+                   out_specs=(P(axis, None), P(None)))
+    sharding = NamedSharding(mesh, P(axis, None))
+    trace = jax.device_put(trace, sharding)
+    return jax.jit(fn)(trace)

@@ -1,0 +1,459 @@
+"""The STARK machine: setup / prove / verify over a chip vector.
+
+Replaces sphinx's StarkMachine + LocalProver for the Lair chip set
+(SURVEY.md section 2.10, call stack section 3.2). Per shard:
+
+  commit main traces (LDE + Merkle)        <- device NTT + Poseidon2
+  sample LogUp challenges r, gamma         (shared across shards: sampled
+                                            from identical challenger clones)
+  build + commit permutation traces
+  sample alpha; evaluate the folded constraint quotient on each chip's LDE
+  coset; split into even/odd coefficient chunks q(x) = q0(x^2) + x q1(x^2)
+  sample zeta; open main/perm/preprocessed at {zeta, zeta*g}, quotient
+  chunks at {zeta^2}; batch-FRI opening proof
+
+The verifier recomputes the transcript, checks per chip
+  folded_constraints(zeta) == quotient(zeta) * Z_H(zeta),
+sums cumulative LogUp sums to zero, and verifies the PCS openings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..field import babybear as bb
+from ..field import ext_np as E
+from ..field import ext as ext_s
+from ..field.ntt import GENERATOR, ntt, intt
+from ..air.symbolic import SymbolicBuilder
+from ..lair.execute import Shard, QueryRecord
+from ..lair.chips import (chip_build_air, chip_included, chip_preprocessed)
+from ..logup import (build_permutation_trace, eval_perm_quotient_np,
+                     eval_perm_at_point, perm_trace_width)
+from .challenger import Challenger
+from .eval import DomainEvalCtx, PointEvalCtx
+from .fri import FriConfig, geom_powers
+from . import pcs
+
+U = np.uint64
+_P = U(bb.P)
+
+DEFAULT_CONFIG = FriConfig(log_blowup=1, num_queries=84, pow_bits=8)
+
+
+def _log2(n: int) -> int:
+    l = n.bit_length() - 1
+    assert 1 << l == n
+    return l
+
+
+# ---------------------------------------------------------------------------
+# domain helpers
+# ---------------------------------------------------------------------------
+
+def _zh_on_coset(log_h: int, shift: int, log_big: int) -> np.ndarray:
+    """Z_H(x) = x^h - 1 evaluated on the coset shift*K (|K| = 2^log_big)."""
+    h = 1 << log_h
+    big = 1 << log_big
+    s_h = pow(shift, h, bb.P)
+    k = bb.two_adic_generator_s(log_big)
+    k_h = pow(k, h, bb.P)  # order big/h
+    vals = geom_powers(k_h, big, s_h)
+    return (vals + _P - U(1)) % _P
+
+
+def _sels_on_coset(log_h: int, shift: int, log_big: int):
+    """Unnormalized Lagrange selectors over the coset (base arrays)."""
+    h = 1 << log_h
+    big = 1 << log_big
+    xs = geom_powers(bb.two_adic_generator_s(log_big), big, shift)
+    zh = _zh_on_coset(log_h, shift, log_big)
+    g_inv = pow(bb.two_adic_generator_s(log_h), h - 1, bb.P) if log_h else 1
+    inv_x1 = E.batch_inv_base((xs + _P - U(1)) % _P)
+    inv_xg = E.batch_inv_base((xs + _P - U(g_inv)) % _P)
+    return {
+        "first": (zh * inv_x1) % _P,
+        "last": (zh * inv_xg) % _P,
+        "transition": (xs + _P - U(g_inv)) % _P,
+    }, zh
+
+
+def _sels_at_point(log_h: int, zeta) -> Tuple[dict, tuple]:
+    h = 1 << log_h
+    zh = ext_s.esub_s(ext_s.epow_s(zeta, h), (1, 0, 0, 0))
+    g_inv = pow(bb.two_adic_generator_s(log_h), h - 1, bb.P) if log_h else 1
+    inv_x1 = ext_s.einv_s(ext_s.esub_s(zeta, (1, 0, 0, 0)))
+    inv_xg = ext_s.einv_s(ext_s.esub_s(zeta, (g_inv, 0, 0, 0)))
+    return {
+        "first": ext_s.emul_s(zh, inv_x1),
+        "last": ext_s.emul_s(zh, inv_xg),
+        "transition": ext_s.esub_s(zeta, (g_inv, 0, 0, 0)),
+    }, zh
+
+
+# ---------------------------------------------------------------------------
+# machine
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ChipProof:
+    name: str
+    log_height: int            # trace height (log2)
+    cumulative_sum: tuple
+
+
+@dataclass
+class ShardProof:
+    index: int
+    chip_proofs: List[ChipProof]
+    main_roots: list
+    perm_roots: list
+    quotient_roots: list
+    pcs_proof: pcs.PcsProof
+
+
+@dataclass
+class MachineProof:
+    shard_proofs: List[ShardProof]
+    public_values: list
+
+
+@dataclass
+class ProvingKey:
+    prep_round: Optional[pcs.CommittedRound]
+    prep_chip_names: List[str]
+
+
+@dataclass
+class VerifyingKey:
+    prep_roots: list
+    prep_chip_names: List[str]
+    prep_widths: List[int]
+    prep_log_heights: List[int]
+
+
+class StarkMachine:
+    def __init__(self, chips: list, num_public_values: int,
+                 config: FriConfig = DEFAULT_CONFIG):
+        self.chips = chips
+        self.num_public_values = num_public_values
+        self.config = config
+        self._builders: Dict[str, SymbolicBuilder] = {}
+
+    def builder_for(self, chip) -> SymbolicBuilder:
+        name = chip.name
+        b = self._builders.get(name)
+        if b is None:
+            b = chip_build_air(chip)
+            self._builders[name] = b
+        return b
+
+    def setup(self) -> Tuple[ProvingKey, VerifyingKey]:
+        prep_mats = []
+        prep_names = []
+        for chip in self.chips:
+            p = chip_preprocessed(chip)
+            if p is not None:
+                prep_mats.append(np.asarray(p, U))
+                prep_names.append(chip.name)
+        if prep_mats:
+            rnd = pcs.commit(prep_mats)
+            pk = ProvingKey(rnd, prep_names)
+            vk = VerifyingKey(rnd.roots, prep_names,
+                              [m.shape[1] for m in prep_mats],
+                              [_log2(m.shape[0]) for m in prep_mats])
+        else:
+            pk = ProvingKey(None, [])
+            vk = VerifyingKey([], [], [], [])
+        return pk, vk
+
+    # ------------------------------------------------------------------
+    def prove(self, pk: ProvingKey, queries: QueryRecord,
+              challenger: Challenger, shard_config=None) -> MachineProof:
+        shards = Shard(queries, 0, shard_config).shard()
+        pv = queries.expect_public_values()
+
+        if pk.prep_round is not None:
+            for root in pk.prep_round.roots:
+                challenger.observe_many(root)
+        challenger.observe_many(pv)
+
+        shard_chip_lists = []
+        shard_main_rounds = []
+        for shard in shards:
+            chips = [c for c in self.chips if chip_included(c, shard)]
+            traces = [np.asarray(c.generate_trace(shard), U) for c in chips]
+            main_round = pcs.commit(traces)
+            shard_chip_lists.append((chips, traces))
+            shard_main_rounds.append(main_round)
+            for root in main_round.roots:
+                challenger.observe_many(root)
+
+        shard_proofs = []
+        for shard, (chips, traces), main_round in zip(
+                shards, shard_chip_lists, shard_main_rounds):
+            ch = challenger.copy()
+            shard_proofs.append(self._prove_shard(
+                pk, shard, chips, traces, main_round, pv, ch))
+        return MachineProof(shard_proofs, list(pv))
+
+    def _prove_shard(self, pk, shard, chips, traces, main_round, pv,
+                     ch: Challenger) -> ShardProof:
+        builders = [self.builder_for(c) for c in chips]
+        preps = [chip_preprocessed(c) for c in chips]
+
+        r = ch.sample_ext()
+        gamma = ch.sample_ext()
+
+        perm_mats = []
+        cums = []
+        for chip, builder, trace, prep in zip(chips, builders, traces, preps):
+            perm, cum = build_permutation_trace(builder, trace, prep, pv,
+                                                r, gamma)
+            perm_mats.append(perm)
+            cums.append(cum)
+        perm_round = pcs.commit(perm_mats)
+        for root in perm_round.roots:
+            ch.observe_many(root)
+        for cum in cums:
+            ch.observe_many(cum)
+
+        alpha = ch.sample_ext()
+
+        quotient_mats = []
+        for i, (chip, builder, trace, prep) in enumerate(
+                zip(chips, builders, traces, preps)):
+            h = trace.shape[0]
+            log_h = _log2(h)
+            log_big = log_h + pcs.LOG_BLOWUP
+            sels, zh = _sels_on_coset(log_h, GENERATOR, log_big)
+            prep_lde = None
+            if prep is not None:
+                pidx = pk.prep_chip_names.index(chip.name)
+                prep_lde = pk.prep_round.ldes[pidx]
+            ctx = DomainEvalCtx.with_stride(
+                main_round.ldes[i], prep_lde, pv, sels, 1 << pcs.LOG_BLOWUP)
+            perm_lde = perm_round.ldes[i]
+            perm_cvals = eval_perm_quotient_np(builder, ctx, perm_lde, r,
+                                               gamma, cums[i])
+            # fold all constraints with descending alpha powers (equivalent
+            # to the verifier's Horner): base part via one matmul
+            n_base = len(builder.constraints)
+            n_total = n_base + len(perm_cvals)
+            apows = pcs.ext_powers(alpha, n_total)  # (n_total, 4) ascending
+            big = 1 << log_big
+            if n_base:
+                base_mat = np.stack(
+                    [ctx.eval(c) for c in builder.constraints], axis=1)
+                weights = np.stack(
+                    [apows[n_total - 1 - i] for i in range(n_base)])
+                folded = pcs.matmul_mod(base_mat, weights)
+            else:
+                folded = E.zero((big,))
+            for k, cval in enumerate(perm_cvals):
+                w = tuple(int(x) for x in apows[n_total - 1 - (n_base + k)])
+                folded = E.eadd(folded,
+                                E.emul(E.from_scalar(w, (big,)), cval))
+            inv_zh = E.batch_inv_base(zh)
+            qvals = E.escale(folded, inv_zh)               # (2h, 4)
+            # interpolate over the coset: intt then unshift
+            qc = np.asarray(intt(qvals.astype(np.uint32)), U)   # (2h, 4)
+            inv_shift_pows = geom_powers(bb.inv_s(GENERATOR), 1 << log_big)
+            qc = (qc * inv_shift_pows[:, None]) % _P
+            # deg Q <= 2h-2 always (deg C <= max(3(h-1), 2h-1)); the top
+            # coefficient must vanish
+            assert np.all(qc[-1:] == 0), \
+                f"quotient degree overflow for {chip.name}"
+            q0 = qc[0::2]
+            q1 = qc[1::2]
+            # evals on the size-h subgroup for commitment
+            chunk = np.concatenate([
+                np.asarray(ntt(q0.astype(np.uint32)), U),
+                np.asarray(ntt(q1.astype(np.uint32)), U)], axis=1)  # (h, 8)
+            quotient_mats.append(chunk)
+
+        quotient_round = pcs.commit(quotient_mats)
+        for root in quotient_round.roots:
+            ch.observe_many(root)
+
+        zeta = ch.sample_ext()
+        zeta2 = ext_s.emul_s(zeta, zeta)
+
+        rounds = []
+        points = []
+        if pk.prep_round is not None:
+            rounds.append(pk.prep_round)
+            prep_points = []
+            for pidx, pname in enumerate(pk.prep_chip_names):
+                # the preprocessed matrix belongs to a chip in this shard?
+                chip_i = next((j for j, c in enumerate(chips)
+                               if c.name == pname), None)
+                if chip_i is None:
+                    prep_points.append([zeta])  # still must open something
+                else:
+                    log_h = _log2(traces[chip_i].shape[0])
+                    g = bb.two_adic_generator_s(log_h)
+                    zg = ext_s.emul_s(zeta, (g, 0, 0, 0))
+                    prep_points.append([zeta, zg])
+            points.append(prep_points)
+        main_points = []
+        perm_points = []
+        for trace in traces:
+            log_h = _log2(trace.shape[0])
+            g = bb.two_adic_generator_s(log_h) if log_h else 1
+            zg = ext_s.emul_s(zeta, (g, 0, 0, 0))
+            main_points.append([zeta, zg])
+            perm_points.append([zeta, zg])
+        rounds.append(main_round)
+        points.append(main_points)
+        rounds.append(perm_round)
+        points.append(perm_points)
+        rounds.append(quotient_round)
+        points.append([[zeta2] for _ in quotient_mats])
+
+        pcs_proof = pcs.open_rounds(rounds, points, self.config, ch)
+
+        chip_proofs = [
+            ChipProof(c.name, _log2(t.shape[0]), cums[i])
+            for i, (c, t) in enumerate(zip(chips, traces))
+        ]
+        return ShardProof(shard.index, chip_proofs, main_round.roots,
+                          perm_round.roots, quotient_round.roots, pcs_proof)
+
+    # ------------------------------------------------------------------
+    def verify(self, vk: VerifyingKey, proof: MachineProof,
+               challenger: Challenger) -> bool:
+        pv = proof.public_values
+        if len(pv) != self.num_public_values:
+            return False
+        for root in vk.prep_roots:
+            challenger.observe_many(root)
+        challenger.observe_many(pv)
+        for sp in proof.shard_proofs:
+            for root in sp.main_roots:
+                challenger.observe_many(root)
+
+        total_cum = (0, 0, 0, 0)
+        for sp in proof.shard_proofs:
+            ch = challenger.copy()
+            if not self._verify_shard(vk, sp, pv, ch):
+                return False
+            for cp in sp.chip_proofs:
+                total_cum = ext_s.eadd_s(total_cum, cp.cumulative_sum)
+        return total_cum == (0, 0, 0, 0)
+
+    def _verify_shard(self, vk, sp: ShardProof, pv, ch: Challenger) -> bool:
+        chips_by_name = {c.name: c for c in self.chips}
+        chips = []
+        for cp in sp.chip_proofs:
+            if cp.name not in chips_by_name:
+                return False
+            chips.append(chips_by_name[cp.name])
+        builders = [self.builder_for(c) for c in chips]
+
+        r = ch.sample_ext()
+        gamma = ch.sample_ext()
+        for root in sp.perm_roots:
+            ch.observe_many(root)
+        for cp in sp.chip_proofs:
+            ch.observe_many(cp.cumulative_sum)
+        alpha = ch.sample_ext()
+        for root in sp.quotient_roots:
+            ch.observe_many(root)
+        zeta = ch.sample_ext()
+        zeta2 = ext_s.emul_s(zeta, zeta)
+
+        # reconstruct the opening layout
+        rounds_widths = []
+        rounds_lhs = []
+        rounds_points = []
+        roots = []
+        has_prep = bool(vk.prep_roots)
+        prep_round_idx = 0 if has_prep else None
+        if has_prep:
+            prep_points = []
+            for pname, plh in zip(vk.prep_chip_names, vk.prep_log_heights):
+                chip_i = next((j for j, cp in enumerate(sp.chip_proofs)
+                               if cp.name == pname), None)
+                if chip_i is None:
+                    prep_points.append([zeta])
+                else:
+                    g = bb.two_adic_generator_s(sp.chip_proofs[chip_i].log_height)
+                    prep_points.append([zeta, ext_s.emul_s(zeta, (g, 0, 0, 0))])
+            rounds_widths.append(list(vk.prep_widths))
+            rounds_lhs.append(list(vk.prep_log_heights))
+            rounds_points.append(prep_points)
+            roots.append(vk.prep_roots)
+
+        main_widths = [self.builder_for(c).main_width for c in chips]
+        perm_widths = [perm_trace_width(self.builder_for(c)) for c in chips]
+        lhs = [cp.log_height for cp in sp.chip_proofs]
+        chip_points = []
+        for cp in sp.chip_proofs:
+            g = bb.two_adic_generator_s(cp.log_height) if cp.log_height else 1
+            chip_points.append([zeta, ext_s.emul_s(zeta, (g, 0, 0, 0))])
+        rounds_widths.append(main_widths)
+        rounds_lhs.append(list(lhs))
+        rounds_points.append(chip_points)
+        roots.append(sp.main_roots)
+        rounds_widths.append(perm_widths)
+        rounds_lhs.append(list(lhs))
+        rounds_points.append([list(p) for p in chip_points])
+        roots.append(sp.perm_roots)
+        rounds_widths.append([8] * len(chips))
+        rounds_lhs.append(list(lhs))
+        rounds_points.append([[zeta2]] * len(chips))
+        roots.append(sp.quotient_roots)
+
+        opened = sp.pcs_proof.opened
+        main_r = 1 if has_prep else 0
+        perm_r = main_r + 1
+        quot_r = perm_r + 1
+
+        # constraint check at zeta per chip
+        for i, (chip, builder, cp) in enumerate(zip(chips, builders,
+                                                    sp.chip_proofs)):
+            log_h = cp.log_height
+            sels, zh = _sels_at_point(log_h, zeta)
+            main_local = opened[main_r][i][0]
+            main_next = opened[main_r][i][1]
+            prep_local = prep_next = None
+            if chip_preprocessed(chip) is not None:
+                pidx = vk.prep_chip_names.index(chip.name)
+                prep_local = opened[prep_round_idx][pidx][0]
+                prep_next = opened[prep_round_idx][pidx][1]
+            pctx = PointEvalCtx(main_local, main_next, prep_local, prep_next,
+                                pv, sels)
+            folded = (0, 0, 0, 0)
+            for c in builder.constraints:
+                folded = ext_s.eadd_s(ext_s.emul_s(folded, alpha),
+                                      pctx.eval(c))
+            perm_local = opened[perm_r][i][0]
+            perm_next = opened[perm_r][i][1]
+            for cval in eval_perm_at_point(builder, pctx, perm_local,
+                                           perm_next, r, gamma,
+                                           cp.cumulative_sum):
+                folded = ext_s.eadd_s(ext_s.emul_s(folded, alpha), cval)
+            # quotient(zeta) = q0(zeta^2) + zeta * q1(zeta^2)
+            qopen = opened[quot_r][i][0]  # 8 ext values
+
+            def recombine(cols4):
+                acc = (0, 0, 0, 0)
+                xp = (1, 0, 0, 0)
+                gen = (0, 1, 0, 0)
+                for c4 in cols4:
+                    acc = ext_s.eadd_s(acc, ext_s.emul_s(c4, xp))
+                    xp = ext_s.emul_s(xp, gen)
+                return acc
+
+            q0 = recombine(qopen[:4])
+            q1 = recombine(qopen[4:])
+            quotient = ext_s.eadd_s(q0, ext_s.emul_s(zeta, q1))
+            if folded != ext_s.emul_s(quotient, zh):
+                return False
+
+        return pcs.verify_rounds(roots, rounds_widths, rounds_lhs,
+                                 rounds_points, sp.pcs_proof, self.config, ch)

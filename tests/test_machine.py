@@ -1,0 +1,91 @@
+"""End-to-end STARK prove/verify over Lair programs (reference:
+src/lair/lair_chip.rs:246-276 test_prove_and_verify, trace.rs lair_shard_test).
+
+Uses a reduced FRI config (fewer queries / small grind) to keep test runtime
+down; the protocol path is identical to the production config.
+"""
+
+import numpy as np
+import pytest
+
+from lurk_tpu.lair.demo import demo_toplevel
+from lurk_tpu.lair.execute import QueryRecord, ShardingConfig, execute_by_name
+from lurk_tpu.lair.trace import FuncChip
+from lurk_tpu.lair.chips import build_lair_chip_vector
+from lurk_tpu.stark.machine import StarkMachine
+from lurk_tpu.stark.challenger import Challenger
+from lurk_tpu.stark.fri import FriConfig
+from lurk_tpu.field import ext as ext_s
+
+TEST_CONFIG = FriConfig(log_blowup=1, num_queries=8, pow_bits=2)
+
+
+def _machine_for(tl, entry_name, queries):
+    chip = FuncChip.from_name(entry_name, tl)
+    chips = build_lair_chip_vector(chip)
+    return StarkMachine(chips, len(queries.expect_public_values()),
+                        TEST_CONFIG)
+
+
+def test_prove_verify_factorial():
+    tl = demo_toplevel()
+    q = QueryRecord(tl)
+    out = execute_by_name(tl, "factorial", [5], q)
+    assert out == (120,)
+    machine = _machine_for(tl, "factorial", q)
+    pk, vk = machine.setup()
+    proof = machine.prove(pk, q, Challenger())
+    assert machine.verify(vk, proof, Challenger())
+    # public values = input ++ output
+    assert proof.public_values == [5, 120]
+
+
+def test_prove_verify_fib():
+    tl = demo_toplevel()
+    q = QueryRecord(tl)
+    execute_by_name(tl, "fib", [7], q)
+    machine = _machine_for(tl, "fib", q)
+    pk, vk = machine.setup()
+    proof = machine.prove(pk, q, Challenger())
+    assert machine.verify(vk, proof, Challenger())
+
+
+def test_tampered_public_values_fail():
+    tl = demo_toplevel()
+    q = QueryRecord(tl)
+    execute_by_name(tl, "factorial", [5], q)
+    machine = _machine_for(tl, "factorial", q)
+    pk, vk = machine.setup()
+    proof = machine.prove(pk, q, Challenger())
+    proof.public_values[1] = 121  # claim 5! = 121
+    assert not machine.verify(vk, proof, Challenger())
+
+
+def test_tampered_cumulative_sum_fails():
+    tl = demo_toplevel()
+    q = QueryRecord(tl)
+    execute_by_name(tl, "factorial", [5], q)
+    machine = _machine_for(tl, "factorial", q)
+    pk, vk = machine.setup()
+    proof = machine.prove(pk, q, Challenger())
+    cp = proof.shard_proofs[0].chip_proofs[1]
+    cp.cumulative_sum = ext_s.eadd_s(cp.cumulative_sum, (1, 0, 0, 0))
+    assert not machine.verify(vk, proof, Challenger())
+
+
+def test_multi_shard_prove_verify():
+    from tests.test_lair_air import _ackermann_func
+    from lurk_tpu.lair.toplevel import Toplevel
+
+    tl = Toplevel([_ackermann_func()])
+    q = QueryRecord(tl)
+    out = execute_by_name(tl, "ackermann", [2, 7], q)
+    assert out == (17,)
+    chip = FuncChip.from_name("ackermann", tl)
+    chips = build_lair_chip_vector(chip)
+    machine = StarkMachine(chips, len(q.expect_public_values()), TEST_CONFIG)
+    pk, vk = machine.setup()
+    cfg = ShardingConfig(max_shard_size=16)
+    proof = machine.prove(pk, q, Challenger(), shard_config=cfg)
+    assert len(proof.shard_proofs) > 1
+    assert machine.verify(vk, proof, Challenger())
