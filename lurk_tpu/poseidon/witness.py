@@ -1,0 +1,207 @@
+"""Poseidon2 wide-chip witness generation + AIR (one row per permutation).
+
+Witness layout (reference: src/poseidon/wide/columns.rs:17-32):
+  external_rounds_state[R_F][W] | external_rounds_sbox[R_F][W] |
+  internal_rounds_state_init[W] | internal_rounds_state0[R_P-1] |
+  internal_rounds_sbox[R_P]
+num_cols = 17*W + 2*R_P - 1.
+
+populate_batch is vectorized numpy (trace replay); eval symbolically expands
+the permutation keeping constraint degree <= 3 (only the cube is witnessed;
+x^7 = x * (x^3)^2), exactly mirroring src/poseidon/wide/{trace,air}.rs.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..field.babybear import P
+from ..air.symbolic import Const, Expr
+from .constants import get_config
+from .ref import M4
+
+U = np.uint64
+_P = U(P)
+
+
+def num_cols(width: int) -> int:
+    cfg = get_config(width)
+    return 2 * cfg.r_f * width + width + (cfg.r_p - 1) + cfg.r_p
+
+
+# --- vectorized numpy permutation pieces -----------------------------------
+
+def _ext_layer_np(state: List[np.ndarray]) -> List[np.ndarray]:
+    w = len(state)
+    out = [None] * w
+    for c in range(0, w, 4):
+        blk = state[c:c + 4]
+        for r in range(4):
+            acc = (M4[r][0] * blk[0]) % _P
+            for j in range(1, 4):
+                acc = (acc + M4[r][j] * blk[j]) % _P
+            out[c + r] = acc
+    sums = []
+    for k in range(4):
+        acc = out[k]
+        for c in range(4 + k, w, 4):
+            acc = (acc + out[c]) % _P
+        sums.append(acc)
+    return [(out[i] + sums[i % 4]) % _P for i in range(w)]
+
+
+def _int_layer_np(state, diag):
+    s = state[0]
+    for x in state[1:]:
+        s = (s + x) % _P
+    return [(x * U(d) + s) % _P for x, d in zip(state, diag)]
+
+
+def populate_batch(width: int, inputs: np.ndarray):
+    """inputs (n, width) canonical -> (witness (n, 8+num_cols), result (n, width)).
+
+    The witness prefix is the 8-felt output (reference: src/core/poseidon.rs
+    witness = OUTPUT_SIZE + Poseidon2Cols); result is the full final state
+    (pushed into the replay map, mirroring the reference's populate_witness).
+    """
+    cfg = get_config(width)
+    n = inputs.shape[0]
+    state = [inputs[:, i].astype(U) % _P for i in range(width)]
+    cols = []
+
+    ext_states = []
+    ext_sboxes = []
+    state = _ext_layer_np(state)
+    for r in range(cfg.r_f // 2):
+        state, st, sb = _ext_round_np(state, cfg, r)
+        ext_states.append(st)
+        ext_sboxes.append(sb)
+    init_state = list(state)
+    state0 = []
+    int_sbox = []
+    for r in range(cfg.r_p):
+        if r > 0:
+            state0.append(state[0])
+        x0 = (state[0] + U(cfg.part_rc_list[r])) % _P
+        sb3 = (x0 * x0 % _P) * x0 % _P
+        int_sbox.append(sb3)
+        state[0] = (x0 * (sb3 * sb3 % _P)) % _P
+        state = _int_layer_np(state, cfg.diag_list)
+    for r in range(cfg.r_f // 2, cfg.r_f):
+        state, st, sb = _ext_round_np(state, cfg, r)
+        ext_states.append(st)
+        ext_sboxes.append(sb)
+
+    result = np.stack(state, axis=1)
+    witness = np.concatenate(
+        [result[:, :8]]
+        + [np.stack(st, axis=1) for st in ext_states]
+        + [np.stack(sb, axis=1) for sb in ext_sboxes]
+        + [np.stack(init_state, axis=1)]
+        + ([np.stack(state0, axis=1)] if state0 else [np.zeros((n, 0), U)])
+        + [np.stack(int_sbox, axis=1)], axis=1)
+    assert witness.shape[1] == 8 + num_cols(width)
+    return witness, result
+
+
+def _ext_round_np(state, cfg, r):
+    st_record = list(state)
+    rc = cfg.full_rc_list[r]
+    state = [(x + U(c)) % _P for x, c in zip(state, rc)]
+    sb_record = []
+    out = []
+    for x in state:
+        sb3 = (x * x % _P) * x % _P
+        sb_record.append(sb3)
+        out.append((x * (sb3 * sb3 % _P)) % _P)
+    return _ext_layer_np(out), st_record, sb_record
+
+
+# --- symbolic AIR -----------------------------------------------------------
+
+def _ext_layer_sym(state: List[Expr]) -> List[Expr]:
+    w = len(state)
+    out = [None] * w
+    for c in range(0, w, 4):
+        blk = state[c:c + 4]
+        for r in range(4):
+            acc = blk[0] * M4[r][0]
+            for j in range(1, 4):
+                acc = acc + blk[j] * M4[r][j]
+            out[c + r] = acc
+    sums = []
+    for k in range(4):
+        acc = out[k]
+        for c in range(4 + k, w, 4):
+            acc = acc + out[c]
+        sums.append(acc)
+    return [out[i] + sums[i % 4] for i in range(w)]
+
+
+def _int_layer_sym(state: List[Expr], diag) -> List[Expr]:
+    s = state[0]
+    for x in state[1:]:
+        s = s + x
+    return [x * int(d) + s for x, d in zip(state, diag)]
+
+
+def eval_sym(builder, width: int, inputs: List[Expr], witness,
+             is_real) -> List[Expr]:
+    """Constrain witness cols against the permutation of `inputs`; returns
+    the 8 output exprs. witness = [output(8) | Poseidon2Cols]."""
+    cfg = get_config(width)
+    output = list(witness[:8])
+    w_iter = list(witness[8:])
+    i = 0
+    ext_state = [[w_iter[r * width + k] for k in range(width)]
+                 for r in range(cfg.r_f)]
+    i = cfg.r_f * width
+    ext_sbox = [[w_iter[i + r * width + k] for k in range(width)]
+                for r in range(cfg.r_f)]
+    i += cfg.r_f * width
+    init_state = w_iter[i:i + width]
+    i += width
+    state0 = w_iter[i:i + cfg.r_p - 1]
+    i += cfg.r_p - 1
+    int_sbox = w_iter[i:i + cfg.r_p]
+    i += cfg.r_p
+    assert i == num_cols(width)
+
+    state = [is_real * x for x in inputs]
+    state = _ext_layer_sym(state)
+
+    def ext_round(state, r):
+        for k in range(width):
+            builder.assert_eq(state[k], ext_state[r][k])
+        state = [ext_state[r][k] + is_real * cfg.full_rc_list[r][k]
+                 for k in range(width)]
+        out = []
+        for k, x in enumerate(state):
+            builder.assert_eq(x * x * x, ext_sbox[r][k])
+            out.append(x * (ext_sbox[r][k] * ext_sbox[r][k]))
+        return _ext_layer_sym(out)
+
+    for r in range(cfg.r_f // 2):
+        state = ext_round(state, r)
+    for r in range(cfg.r_p):
+        if r == 0:
+            for k in range(width):
+                builder.assert_eq(state[k], init_state[k])
+            state = list(init_state)
+        else:
+            builder.assert_eq(state[0], state0[r - 1])
+            state[0] = state0[r - 1]
+        x0 = state[0] + is_real * cfg.part_rc_list[r]
+        builder.assert_eq(x0 * x0 * x0, int_sbox[r])
+        state[0] = x0 * (int_sbox[r] * int_sbox[r])
+        state = _int_layer_sym(state, cfg.diag_list)
+    for r in range(cfg.r_f // 2, cfg.r_f):
+        state = ext_round(state, r)
+
+    # only the truncated 8-felt output is constrained (the reference zips
+    # `state` against the 8-entry output slice, src/poseidon/wide/air.rs:47-49)
+    for k in range(8):
+        builder.assert_eq(state[k], is_real * output[k])
+    return output
