@@ -6,6 +6,10 @@ Baseline estimate for the reference: rayon-parallel Plonky3 Poseidon2-w24 on
 96 cores ~ 25M perms/s (~260k/s/core); no absolute number is published in the
 reference repo (BASELINE.md), so vs_baseline is measured against that figure.
 
+The timed region chains permutations on device and ends with a reduced
+checksum transferred to host - this forces full synchronization even on
+remote-device platforms where block_until_ready is unreliable.
+
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -17,24 +21,28 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
     from lurk_tpu.poseidon import perm
     from lurk_tpu.field import babybear as bb
 
     batch = 1 << 19
+    iters = 8
     rng = np.random.default_rng(0)
     states = rng.integers(0, bb.P, size=(24, batch), dtype=np.uint32)
-    states = bb.to_mont(jax.numpy.asarray(states))
 
-    # warmup / compile
-    out = perm.permute_mont(states)
-    out.block_until_ready()
+    @jax.jit
+    def chain(x):
+        for _ in range(iters):
+            x = perm.permute_mont(x)
+        # fold to a single scalar so the sync transfer is tiny
+        return jnp.bitwise_xor.reduce(jnp.bitwise_xor.reduce(x))
 
-    iters = 10
+    x = bb.to_mont(jnp.asarray(states))
+    # warmup: compile + first-transfer warm-up
+    _ = np.asarray(chain(x))
+
     t0 = time.perf_counter()
-    x = states
-    for _ in range(iters):
-        x = perm.permute_mont(x)
-    x.block_until_ready()
+    checksum = np.asarray(chain(x))
     dt = time.perf_counter() - t0
 
     hashes_per_s = batch * iters / dt

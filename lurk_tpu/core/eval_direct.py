@@ -1,0 +1,2259 @@
+"""The production Lurk evaluator as Lair functions.
+
+Faithful port of reference: src/core/eval_direct.rs (39 functions listed at
+eval_direct.rs:29-77). Function order in the toplevel is significant (func
+indices appear in CallRelation lookup tuples) and matches the reference.
+"""
+
+from __future__ import annotations
+
+from ..lair.dsl import FuncBuilder
+from ..lair.toplevel import Toplevel
+from .chipset import lurk_chip_map
+from .ingress import SymbolsDigests, preallocate_symbols, ingress, egress
+from . import misc
+from .state import BUILTIN_SYMBOLS
+from .symbol import Symbol
+from .tag import Tag, InternalTag, EvalErr
+from .zstore import lurk_zstore
+
+
+def lurk_main():
+    b = FuncBuilder("lurk_main", [("full_expr_tag", 8), ("expr_digest", 8),
+                                  ("env_digest", 8)], 16, partial=True)
+    full_expr_tag = b.input("full_expr_tag")
+    expr_digest = b.input("expr_digest")
+    env_digest = b.input("env_digest")
+    b.call("preallocate_symbols", out_sizes=())
+    expr_tag, expr = b.call("ingress", full_expr_tag, expr_digest,
+                            out_sizes=(1, 1))
+    padding = b.array([0] * 7)
+    env_tag = b.const(Tag.Env)
+    full_env_tag, = b.split([env_tag, padding], [8])
+    _env_tag, env = b.call("ingress", full_env_tag, env_digest,
+                           out_sizes=(1, 1))
+    val_tag, val = b.call("eval", expr_tag, expr, env, out_sizes=(1, 1))
+    val_tag2, val_digest = b.call("egress", val_tag, val, out_sizes=(1, 8))
+    full_val_tag, = b.split([val_tag2, padding], [8])
+    b.ret(full_val_tag, val_digest)
+    return b.build()
+
+
+def eval_coroutine_expr(digests, coroutines=None):
+    """Reference: eval_direct.rs:198-384. Without coroutines: a stub that
+    always fails (assert 0 == 1)."""
+    if not coroutines:
+        b = FuncBuilder("eval_coroutine_expr",
+                        ["_head", "_args_tag", "_args", "_env"], 2)
+        zero = b.const(0)
+        one = b.const(1)
+        b.assert_eq(zero, one)
+        b.ret(zero, zero)
+        return b.build()
+
+    b = FuncBuilder("eval_coroutine_expr",
+                    ["head", "args_tag", "args", "env"], 2, partial=True)
+    head = b.input("head")
+    args_tag0 = b.input("args_tag")
+    args0 = b.input("args")
+    env = b.input("env")
+    args_tag, args = b.call("eval_list", args_tag0, args0, env,
+                            out_sizes=(1, 1))
+
+    def err_case(bb):
+        bb.ret(args_tag, args)
+
+    def match_head(bb):
+        branches = []
+        for sym, coroutine in coroutines.items():
+            func_name = coroutine.func_expr.name
+            lurk_arity = coroutine.lurk_arity
+            uses_env = coroutine.uses_env
+
+            def mk_case(func_name=func_name, lurk_arity=lurk_arity,
+                        uses_env=uses_env):
+                def case(b2):
+                    if lurk_arity == 0:
+                        call_args = [env] if uses_env else []
+                        res_tag, res = b2.call(func_name, *call_args,
+                                               out_sizes=(1, 1))
+                        b2.ret(res_tag, res)
+                        return
+                    err_tag = b2.const(Tag.Err)
+                    err = b2.const(EvalErr.InvalidForm)
+
+                    def pop(b3, i, cur_tag, cur, arg_vars):
+                        # match cur_tag { Nil => return err } default: load
+                        def nil_case(b4):
+                            b4.ret(err_tag, err)
+
+                        def cont(b4):
+                            at, a, nt, n = b4.load(cur, [1, 1, 1, 1])
+                            new_args = arg_vars + [at, a]
+                            if i == lurk_arity:
+                                def final_nil(b5):
+                                    call_args = list(new_args)
+                                    if uses_env:
+                                        call_args.append(env)
+                                    res_tag, res = b5.call(
+                                        func_name, *call_args,
+                                        out_sizes=(1, 1))
+                                    b5.ret(res_tag, res)
+
+                                def final_default(b5):
+                                    b5.ret(err_tag, err)
+
+                                b4.match(nt, [(int(InternalTag.Nil),
+                                               final_nil)],
+                                         default=final_default)
+                            else:
+                                pop(b4, i + 1, nt, n, new_args)
+
+                        b3.match(cur_tag, [(int(InternalTag.Nil), nil_case)],
+                                 default=cont)
+
+                    pop(b2, 1, args_tag, args, [])
+                return case
+            branches.append((digests.symbol_ptr(sym), mk_case()))
+        bb.match(head, branches)
+
+    b.match(args_tag, [(int(Tag.Err), err_case)], default=match_head)
+    return b.build()
+
+
+def eval_func():
+    b = FuncBuilder("eval", ["expr_tag", "expr", "env"], 2, partial=True)
+    expr_tag = b.input("expr_tag")
+    expr = b.input("expr")
+    env = b.input("env")
+
+    def case_sym(bb):
+        expr_digest, = bb.load(expr, [8])
+        res_tag, res = bb.call("env_lookup", expr_tag, expr_digest, env,
+                               out_sizes=(1, 1))
+
+        def case_fix(b2):
+            nil_env = b2.const(0)
+            res_tag2, res2 = b2.call("eval", res_tag, res, nil_env,
+                                     out_sizes=(1, 1))
+            b2.ret(res_tag2, res2)
+
+        def default(b2):
+            b2.ret(res_tag, res)
+
+        bb.match(res_tag, [(int(Tag.Fix), case_fix)], default=default)
+
+    def case_cons(bb):
+        head_tag, head, rest_tag, rest = bb.load(expr, [1, 1, 1, 1])
+
+        def case_builtin(b2):
+            res_tag, res = b2.call("eval_builtin_expr", head, rest_tag, rest,
+                                   env, out_sizes=(1, 1))
+            b2.ret(res_tag, res)
+
+        def case_coroutine(b2):
+            res_tag, res = b2.call("eval_coroutine_expr", head, rest_tag,
+                                   rest, env, out_sizes=(1, 1))
+            b2.ret(res_tag, res)
+
+        def default(b2):
+            head_tag2, head2 = b2.call("eval", head_tag, head, env,
+                                       out_sizes=(1, 1))
+
+            def case_comm(b3):
+                ht, h = b3.call("open_comm", head2, out_sizes=(1, 1))
+                res_tag, res = b3.call("apply", ht, h, rest_tag, rest, env,
+                                       out_sizes=(1, 1))
+                b3.ret(res_tag, res)
+
+            def case_err(b3):
+                b3.ret(head_tag2, head2)
+
+            def apply_default(b3):
+                res_tag, res = b3.call("apply", head_tag2, head2, rest_tag,
+                                       rest, env, out_sizes=(1, 1))
+                b3.ret(res_tag, res)
+
+            b2.match(head_tag2, [
+                ((int(Tag.BigNum), int(Tag.Comm)), case_comm),
+                (int(Tag.Err), case_err),
+            ], default=apply_default)
+
+        bb.match(head_tag, [
+            (int(Tag.Builtin), case_builtin),
+            (int(Tag.Coroutine), case_coroutine),
+        ], default=default)
+
+    def case_fix(bb):
+        body_tag, body, binds_tag, binds, mutual_env = bb.load(
+            expr, [1, 1, 1, 1, 1])
+        _tag, ext_env = bb.call("extend_env_with_mutuals", binds_tag, binds,
+                                binds, mutual_env, out_sizes=(1, 1))
+        res_tag, res = bb.call("eval", body_tag, body, ext_env,
+                               out_sizes=(1, 1))
+        bb.ret(res_tag, res)
+
+    def default(bb):
+        bb.ret(expr_tag, expr)
+
+    b.match(expr_tag, [
+        ((int(Tag.Builtin), int(Tag.Sym), int(Tag.Coroutine)), case_sym),
+        (int(Tag.Cons), case_cons),
+        (int(Tag.Fix), case_fix),
+    ], default=default)
+    return b.build()
+
+
+def eval_builtin_expr(digests):
+    b = FuncBuilder("eval_builtin_expr", ["head", "rest_tag", "rest", "env"],
+                    2, partial=True)
+    head = b.input("head")
+    rest_tag = b.input("rest_tag")
+    rest = b.input("rest")
+    env = b.input("env")
+    nil_tag = b.const(InternalTag.Nil)
+    cons_tag = b.const(Tag.Cons)
+    err_tag = b.const(Tag.Err)
+    invalid_form = b.const(EvalErr.InvalidForm)
+
+    def bp(name):
+        return digests.builtin_symbol_ptr(name)
+
+    def ret_err(bb):
+        bb.ret(err_tag, invalid_form)
+
+    def case_let_group(bb):
+        rest_not_cons = bb.sub(rest_tag, cons_tag)
+
+        def cont(b2):
+            fst_tag, fst, rest_tag2, rest2 = b2.load(rest, [1, 1, 1, 1])
+            rest_not_cons2 = b2.sub(rest_tag2, cons_tag)
+
+            def cont2(b3):
+                def c_let(b4):
+                    rt, r = b4.call("eval_let", fst_tag, fst, rest_tag2,
+                                    rest2, env, out_sizes=(1, 1))
+                    b4.ret(rt, r)
+
+                def c_letrec(b4):
+                    rt, r = b4.call("eval_letrec", fst_tag, fst, rest_tag2,
+                                    rest2, env, out_sizes=(1, 1))
+                    b4.ret(rt, r)
+
+                def c_lambda(b4):
+                    res_tag = b4.const(Tag.Fun)
+                    res = b4.store(fst_tag, fst, rest_tag2, rest2, env)
+                    b4.ret(res_tag, res)
+
+                b3.match(head, [(bp("let"), c_let), (bp("letrec"), c_letrec),
+                                (bp("lambda"), c_lambda)])
+
+            b2.if_(rest_not_cons2, ret_err, cont2)
+
+        bb.if_(rest_not_cons, ret_err, cont)
+
+    def case_binop2(bb):
+        rest_not_cons = bb.sub(rest_tag, cons_tag)
+
+        def cont(b2):
+            fst_tag, fst, rest_tag2, rest2 = b2.load(rest, [1, 1, 1, 1])
+            rest_not_cons2 = b2.sub(rest_tag2, cons_tag)
+
+            def cont2(b3):
+                snd_tag, snd, rest_tag3, _rest3 = b3.load(rest2, [1, 1, 1, 1])
+                rest_not_nil = b3.sub(rest_tag3, nil_tag)
+
+                def cont3(b4):
+                    def c_cons(b5):
+                        rt, r = b5.call("eval_binop_misc", head, fst_tag, fst,
+                                        snd_tag, snd, env, out_sizes=(1, 1))
+                        b5.ret(rt, r)
+
+                    def c_type_eq(b5):
+                        ft, f = b5.call("eval", fst_tag, fst, env,
+                                        out_sizes=(1, 1))
+
+                        def fe(b6):
+                            b6.ret(ft, f)
+
+                        def cont5(b6):
+                            st, s = b6.call("eval", snd_tag, snd, env,
+                                            out_sizes=(1, 1))
+
+                            def se(b7):
+                                b7.ret(st, s)
+
+                            def cont6(b7):
+                                ft2, = b7.call("coerce_if_sym", ft,
+                                               out_sizes=(1,))
+                                st2, = b7.call("coerce_if_sym", st,
+                                               out_sizes=(1,))
+                                type_not_eq = b7.sub(ft2, st2)
+
+                                def ne(b8):
+                                    nil = b8.const(
+                                        digests.lurk_symbol_ptr("nil"))
+                                    b8.ret(nil_tag, nil)
+
+                                def eq(b8):
+                                    t_tag = b8.const(InternalTag.T)
+                                    t = b8.const(digests.lurk_symbol_ptr("t"))
+                                    b8.ret(t_tag, t)
+
+                                b7.if_(type_not_eq, ne, eq)
+
+                            b6.match(st, [(int(Tag.Err), se)], default=cont6)
+
+                        b5.match(ft, [(int(Tag.Err), fe)], default=cont5)
+
+                    def c_type_eqq(b5):
+                        st, s = b5.call("eval", snd_tag, snd, env,
+                                        out_sizes=(1, 1))
+
+                        def se(b6):
+                            b6.ret(st, s)
+
+                        def cont5(b6):
+                            ft2, = b6.call("coerce_if_sym", fst_tag,
+                                           out_sizes=(1,))
+                            st2, = b6.call("coerce_if_sym", st,
+                                           out_sizes=(1,))
+                            type_not_eqq = b6.sub(ft2, st2)
+
+                            def ne(b7):
+                                nil = b7.const(digests.lurk_symbol_ptr("nil"))
+                                b7.ret(nil_tag, nil)
+
+                            def eq(b7):
+                                t_tag = b7.const(InternalTag.T)
+                                t = b7.const(digests.lurk_symbol_ptr("t"))
+                                b7.ret(t_tag, t)
+
+                            b6.if_(type_not_eqq, ne, eq)
+
+                        b5.match(st, [(int(Tag.Err), se)], default=cont5)
+
+                    def c_apply(b5):
+                        rt, r = b5.call("eval_apply_builtin", fst_tag, fst,
+                                        snd_tag, snd, env, out_sizes=(1, 1))
+                        b5.ret(rt, r)
+
+                    b4.match(head, [
+                        ((bp("cons"), bp("strcons")), c_cons),
+                        (bp("type-eq"), c_type_eq),
+                        (bp("type-eqq"), c_type_eqq),
+                        (bp("apply"), c_apply),
+                    ])
+
+                b3.if_(rest_not_nil, ret_err, cont3)
+
+            b2.if_(rest_not_cons2, ret_err, cont2)
+
+        bb.if_(rest_not_cons, ret_err, cont)
+
+    def case_list(bb):
+        et, e = bb.call("eval_list", rest_tag, rest, env, out_sizes=(1, 1))
+        bb.ret(et, e)
+
+    def case_binop_num(bb):
+        rest_not_cons = bb.sub(rest_tag, cons_tag)
+
+        def cont(b2):
+            fst_tag, fst, rest_tag2, rest2 = b2.load(rest, [1, 1, 1, 1])
+            rest_not_cons2 = b2.sub(rest_tag2, cons_tag)
+
+            def cont2(b3):
+                snd_tag, snd, rest_tag3, _r = b3.load(rest2, [1, 1, 1, 1])
+                rest_not_nil = b3.sub(rest_tag3, nil_tag)
+
+                def cont3(b4):
+                    rt, r = b4.call("eval_binop_num", head, fst_tag, fst,
+                                    snd_tag, snd, env, out_sizes=(1, 1))
+                    b4.ret(rt, r)
+
+                b3.if_(rest_not_nil, ret_err, cont3)
+
+            b2.if_(rest_not_cons2, ret_err, cont2)
+
+        bb.if_(rest_not_cons, ret_err, cont)
+
+    def case_eval(bb):
+        rest_not_cons = bb.sub(rest_tag, cons_tag)
+
+        def cont(b2):
+            expr_tag, expr, rest_tag2, rest2 = b2.load(rest, [1, 1, 1, 1])
+
+            def c_nil(b3):
+                rt, r = b3.call("eval", expr_tag, expr, env, out_sizes=(1, 1))
+
+                def re(b4):
+                    b4.ret(rt, r)
+
+                def cont3(b4):
+                    env0 = b4.const(0)
+                    rt2, r2 = b4.call("eval", rt, r, env0, out_sizes=(1, 1))
+                    b4.ret(rt2, r2)
+
+                b3.match(rt, [(int(Tag.Err), re)], default=cont3)
+
+            def c_cons(b3):
+                env_expr_tag, env_expr, rest_tag3, _r = b3.load(
+                    rest2, [1, 1, 1, 1])
+                rest_not_nil = b3.sub(rest_tag3, nil_tag)
+
+                def cont3(b4):
+                    rt, r = b4.call("eval", expr_tag, expr, env,
+                                    out_sizes=(1, 1))
+
+                    def re(b5):
+                        b5.ret(rt, r)
+
+                    def cont4(b5):
+                        et, new_env = b5.call("eval", env_expr_tag, env_expr,
+                                              env, out_sizes=(1, 1))
+
+                        def ee(b6):
+                            b6.ret(et, new_env)
+
+                        def c_env(b6):
+                            rt2, r2 = b6.call("eval", rt, r, new_env,
+                                              out_sizes=(1, 1))
+                            b6.ret(rt2, r2)
+
+                        def not_env(b6):
+                            err = b6.const(EvalErr.NotEnv)
+                            b6.ret(err_tag, err)
+
+                        b5.match(et, [(int(Tag.Err), ee),
+                                      (int(Tag.Env), c_env)],
+                                 default=not_env)
+
+                    b4.match(rt, [(int(Tag.Err), re)], default=cont4)
+
+                b3.if_(rest_not_nil, ret_err, cont3)
+
+            def not_env(b3):
+                ne = b3.const(EvalErr.NotEnv)
+                b3.ret(err_tag, ne)
+
+            b2.match(rest_tag2, [(int(InternalTag.Nil), c_nil),
+                                 (int(Tag.Cons), c_cons)], default=not_env)
+
+        bb.if_(rest_not_cons, ret_err, cont)
+
+    def case_quote(bb):
+        rest_not_cons = bb.sub(rest_tag, cons_tag)
+
+        def cont(b2):
+            expr_tag, expr, rest_tag2, _r = b2.load(rest, [1, 1, 1, 1])
+            rest_not_nil = b2.sub(rest_tag2, nil_tag)
+
+            def cont2(b3):
+                b3.ret(expr_tag, expr)
+
+            b2.if_(rest_not_nil, ret_err, cont2)
+
+        bb.if_(rest_not_cons, ret_err, cont)
+
+    def case_begin(bb):
+        et, e = bb.call("eval_begin", rest_tag, rest, env, out_sizes=(1, 1))
+        bb.ret(et, e)
+
+    def case_env_group(bb):
+        rest_not_nil = bb.sub(rest_tag, nil_tag)
+
+        def cont(b2):
+            env_tag = b2.const(Tag.Env)
+
+            def c_current(b3):
+                b3.ret(env_tag, env)
+
+            def c_empty(b3):
+                env0 = b3.const(0)
+                b3.ret(env_tag, env0)
+
+            def c_fail(b3):
+                zero = b3.const(0)
+                one = b3.const(1)
+                b3.assert_eq(zero, one,
+                             fmt=lambda a, c: "Explicit fail encountered")
+                b3.ret(zero, zero)
+
+            b2.match(head, [(bp("current-env"), c_current),
+                            (bp("empty-env"), c_empty),
+                            (bp("fail"), c_fail)])
+
+        bb.if_(rest_not_nil, ret_err, cont)
+
+    def case_bind(bb):
+        rt, r = bb.call("eval_bind_builtin", rest_tag, rest, env,
+                        out_sizes=(1, 1))
+        bb.ret(rt, r)
+
+    def case_env_b(bb):
+        rt, r = bb.call("eval_env_builtin", rest_tag, rest, env,
+                        out_sizes=(1, 1))
+        bb.ret(rt, r)
+
+    def case_breakpoint(bb):
+        bb.breakpoint()
+
+        def c_nil(b2):
+            nil = b2.const(digests.lurk_symbol_ptr("nil"))
+            b2.ret(nil_tag, nil)
+
+        def c_cons(b2):
+            expr_tag, expr, rest_tag2, _r = b2.load(rest, [1, 1, 1, 1])
+            rest_not_nil = b2.sub(rest_tag2, nil_tag)
+
+            def cont(b3):
+                vt, v = b3.call("eval", expr_tag, expr, env, out_sizes=(1, 1))
+                b3.ret(vt, v)
+
+            b2.if_(rest_not_nil, ret_err, cont)
+
+        bb.match(rest_tag, [(int(InternalTag.Nil), c_nil),
+                            (int(Tag.Cons), c_cons)])
+
+    def case_if(bb):
+        rest_not_cons = bb.sub(rest_tag, cons_tag)
+
+        def cont(b2):
+            expr_tag, expr, rest_tag2, rest2 = b2.load(rest, [1, 1, 1, 1])
+            rest_not_cons2 = b2.sub(rest_tag2, cons_tag)
+
+            def cont2(b3):
+                t_branch_tag, t_branch, rest_tag3, rest3 = b3.load(
+                    rest2, [1, 1, 1, 1])
+
+                def c_nil(b4):
+                    vt, v = b4.call("eval", expr_tag, expr, env,
+                                    out_sizes=(1, 1))
+
+                    def false_err(b5):
+                        b5.ret(vt, v)
+
+                    def cont4(b5):
+                        rt, r = b5.call("eval", t_branch_tag, t_branch, env,
+                                        out_sizes=(1, 1))
+                        b5.ret(rt, r)
+
+                    b4.match(vt, [((int(InternalTag.Nil), int(Tag.Err)),
+                                   false_err)], default=cont4)
+
+                def c_cons(b4):
+                    f_branch_tag, f_branch, rest_tag4, _r = b4.load(
+                        rest3, [1, 1, 1, 1])
+                    rest_not_nil = b4.sub(rest_tag4, nil_tag)
+
+                    def cont4(b5):
+                        vt, v = b5.call("eval", expr_tag, expr, env,
+                                        out_sizes=(1, 1))
+
+                        def c_false(b6):
+                            rt, r = b6.call("eval", f_branch_tag, f_branch,
+                                            env, out_sizes=(1, 1))
+                            b6.ret(rt, r)
+
+                        def c_err(b6):
+                            b6.ret(vt, v)
+
+                        def c_true(b6):
+                            rt, r = b6.call("eval", t_branch_tag, t_branch,
+                                            env, out_sizes=(1, 1))
+                            b6.ret(rt, r)
+
+                        b5.match(vt, [(int(InternalTag.Nil), c_false),
+                                      (int(Tag.Err), c_err)], default=c_true)
+
+                    b4.if_(rest_not_nil, ret_err, cont4)
+
+                def bad(b4):
+                    b4.ret(err_tag, invalid_form)
+
+                b3.match(rest_tag3, [(int(InternalTag.Nil), c_nil),
+                                     (int(Tag.Cons), c_cons)], default=bad)
+
+            b2.if_(rest_not_cons2, ret_err, cont2)
+
+        bb.if_(rest_not_cons, ret_err, cont)
+
+    def case_eq(bb):
+        one = bb.const(1)
+        res = bb.call("equal", rest_tag, rest, env, one, out_sizes=(1, 1))
+        bb.ret(*res)
+
+    def case_eqq(bb):
+        zero = bb.const(0)
+        res = bb.call("equal", rest_tag, rest, env, zero, out_sizes=(1, 1))
+        bb.ret(*res)
+
+    def case_hide(bb):
+        rt, r = bb.call("eval_hide", rest_tag, rest, env, out_sizes=(1, 1))
+        bb.ret(rt, r)
+
+    def case_car_cdr(bb):
+        car_tag, car, cdr_tag, cdr = bb.call("car_cdr", rest_tag, rest, env,
+                                             out_sizes=(1, 1, 1, 1))
+
+        def c_car(b2):
+            b2.ret(car_tag, car)
+
+        def c_cdr(b2):
+            b2.ret(cdr_tag, cdr)
+
+        bb.match(head, [(bp("car"), c_car), (bp("cdr"), c_cdr)])
+
+    def case_unop(bb):
+        rt, r = bb.call("eval_unop", head, rest_tag, rest, env,
+                        out_sizes=(1, 1))
+        bb.ret(rt, r)
+
+    def case_opening_unop(bb):
+        rt, r = bb.call("eval_opening_unop", head, rest_tag, rest, env,
+                        out_sizes=(1, 1))
+        bb.ret(rt, r)
+
+    b.match(head, [
+        ((bp("let"), bp("letrec"), bp("lambda")), case_let_group),
+        ((bp("cons"), bp("strcons"), bp("type-eq"), bp("type-eqq"),
+          bp("apply")), case_binop2),
+        (bp("list"), case_list),
+        ((bp("+"), bp("-"), bp("*"), bp("/"), bp("%"), bp("="), bp("<"),
+          bp(">"), bp("<="), bp(">=")), case_binop_num),
+        (bp("eval"), case_eval),
+        (bp("quote"), case_quote),
+        (bp("begin"), case_begin),
+        ((bp("current-env"), bp("empty-env"), bp("fail")), case_env_group),
+        (bp("bind"), case_bind),
+        (bp("env"), case_env_b),
+        (bp("breakpoint"), case_breakpoint),
+        (bp("if"), case_if),
+        (bp("eq"), case_eq),
+        (bp("eqq"), case_eqq),
+        (bp("hide"), case_hide),
+        ((bp("car"), bp("cdr")), case_car_cdr),
+        ((bp("u64"), bp("char"), bp("atom"), bp("emit"), bp("bignum"),
+          bp("comm")), case_unop),
+        ((bp("commit"), bp("open"), bp("secret")), case_opening_unop),
+    ])
+    return b.build()
+
+
+def eval_bind_builtin():
+    b = FuncBuilder("eval_bind_builtin", ["rest_tag", "rest", "env"], 2,
+                    partial=True)
+    rest_tag = b.input("rest_tag")
+    rest = b.input("rest")
+    env = b.input("env")
+    nil_tag = b.const(InternalTag.Nil)
+    cons_tag = b.const(Tag.Cons)
+    err_tag = b.const(Tag.Err)
+    invalid_form = b.const(EvalErr.InvalidForm)
+
+    def ret_err(bb):
+        bb.ret(err_tag, invalid_form)
+
+    rest_not_cons = b.sub(rest_tag, cons_tag)
+
+    def cont(b2):
+        fst_tag, fst, rest_tag2, rest2 = b2.load(rest, [1, 1, 1, 1])
+        rest_not_cons2 = b2.sub(rest_tag2, cons_tag)
+
+        def cont2(b3):
+            snd_tag, snd, rest_tag3, rest3 = b3.load(rest2, [1, 1, 1, 1])
+            rest_not_cons3 = b3.sub(rest_tag3, cons_tag)
+
+            def cont3(b4):
+                trd_tag, trd, rest_tag4, _r = b4.load(rest3, [1, 1, 1, 1])
+                rest_not_nil = b4.sub(rest_tag4, nil_tag)
+
+                def cont4(b5):
+                    ft, f = b5.call("eval", fst_tag, fst, env,
+                                    out_sizes=(1, 1))
+
+                    def c_sym(b6):
+                        st, s = b6.call("eval", snd_tag, snd, env,
+                                        out_sizes=(1, 1))
+                        not_err = b6.sub(st, err_tag)
+
+                        def c_serr(b7):
+                            b7.ret(st, s)
+
+                        def cont6(b7):
+                            tt, t = b7.call("eval", trd_tag, trd, env,
+                                            out_sizes=(1, 1))
+
+                            def c_env(b8):
+                                new_env = b8.store(ft, f, st, s, t)
+                                b8.ret(tt, new_env)
+
+                            def c_terr(b8):
+                                b8.ret(tt, t)
+
+                            def not_env(b8):
+                                err = b8.const(EvalErr.NotEnv)
+                                b8.ret(err_tag, err)
+
+                            b7.match(tt, [(int(Tag.Env), c_env),
+                                          (int(Tag.Err), c_terr)],
+                                     default=not_env)
+
+                        b6.if_(not_err, cont6, c_serr)
+
+                    def c_ferr(b6):
+                        b6.ret(ft, f)
+
+                    def bad_var(b6):
+                        err = b6.const(EvalErr.IllegalBindingVar)
+                        b6.ret(err_tag, err)
+
+                    b5.match(ft, [
+                        ((int(Tag.Sym), int(Tag.Builtin),
+                          int(Tag.Coroutine)), c_sym),
+                        (int(Tag.Err), c_ferr),
+                    ], default=bad_var)
+
+                b4.if_(rest_not_nil, ret_err, cont4)
+
+            b3.if_(rest_not_cons3, ret_err, cont3)
+
+        b2.if_(rest_not_cons2, ret_err, cont2)
+
+    b.if_(rest_not_cons, ret_err, cont)
+    return b.build()
+
+
+def eval_env_builtin():
+    b = FuncBuilder("eval_env_builtin", ["rest_tag", "rest", "env"], 2,
+                    partial=True)
+    rest_tag = b.input("rest_tag")
+    rest = b.input("rest")
+    env = b.input("env")
+    env_tag = b.const(Tag.Env)
+    err_tag = b.const(Tag.Err)
+
+    def c_nil(bb):
+        env0 = bb.const(0)
+        bb.ret(env_tag, env0)
+
+    def c_cons(bb):
+        head_tag, head, rest_tag2, rest2 = bb.load(rest, [1, 1, 1, 1])
+        ht, h = bb.call("eval", head_tag, head, env, out_sizes=(1, 1))
+
+        def c_hcons(b2):
+            sym_tag, sym, val_tag, val = b2.load(h, [1, 1, 1, 1])
+
+            def c_sym(b3):
+                tet, te = b3.call("eval_env_builtin", rest_tag2, rest2, env,
+                                  out_sizes=(1, 1))
+
+                def c_env(b4):
+                    new_env = b4.store(sym_tag, sym, val_tag, val, te)
+                    b4.ret(env_tag, new_env)
+
+                def c_terr(b4):
+                    b4.ret(tet, te)
+
+                b3.match(tet, [(int(Tag.Env), c_env), (int(Tag.Err), c_terr)])
+
+            def bad_var(b3):
+                err = b3.const(EvalErr.IllegalBindingVar)
+                b3.ret(err_tag, err)
+
+            b2.match(sym_tag, [
+                ((int(Tag.Sym), int(Tag.Builtin), int(Tag.Coroutine)), c_sym),
+            ], default=bad_var)
+
+        def c_herr(b2):
+            b2.ret(ht, h)
+
+        def not_cons(b2):
+            err = b2.const(EvalErr.NotCons)
+            b2.ret(err_tag, err)
+
+        bb.match(ht, [(int(Tag.Cons), c_hcons), (int(Tag.Err), c_herr)],
+                 default=not_cons)
+
+    def bad(bb):
+        err = bb.const(EvalErr.InvalidForm)
+        bb.ret(err_tag, err)
+
+    b.match(rest_tag, [(int(InternalTag.Nil), c_nil),
+                       (int(Tag.Cons), c_cons)], default=bad)
+    return b.build()
+
+
+def eval_apply_builtin():
+    b = FuncBuilder("eval_apply_builtin",
+                    ["fst_tag", "fst", "snd_tag", "snd", "env"], 2,
+                    partial=True)
+    fst_tag = b.input("fst_tag")
+    fst = b.input("fst")
+    snd_tag = b.input("snd_tag")
+    snd = b.input("snd")
+    env = b.input("env")
+    ft, f = b.call("eval", fst_tag, fst, env, out_sizes=(1, 1))
+
+    def c_ferr(bb):
+        bb.ret(ft, f)
+
+    def cont(bb):
+        st, s = bb.call("eval", snd_tag, snd, env, out_sizes=(1, 1))
+
+        def c_serr(b2):
+            b2.ret(st, s)
+
+        def cont2(b2):
+            rt, r = b2.call("apply", ft, f, st, s, env, out_sizes=(1, 1))
+            b2.ret(rt, r)
+
+        bb.match(st, [(int(Tag.Err), c_serr)], default=cont2)
+
+    b.match(ft, [(int(Tag.Err), c_ferr)], default=cont)
+    return b.build()
+
+
+def coerce_if_sym():
+    b = FuncBuilder("coerce_if_sym", ["tag"], 1)
+    tag = b.input("tag")
+
+    def c_internal(bb):
+        sym_tag = bb.const(Tag.Sym)
+        bb.ret(sym_tag)
+
+    def default(bb):
+        bb.ret(tag)
+
+    b.match(tag, [((int(InternalTag.Nil), int(InternalTag.T)), c_internal)],
+            default=default)
+    return b.build()
+
+
+def open_comm():
+    b = FuncBuilder("open_comm", ["hash_ptr"], 2)
+    hash_ptr = b.input("hash_ptr")
+    comm_hash, = b.load(hash_ptr, [8])
+    outs = b.preimg("hash3", comm_hash, out_sizes=(8, 1, 7, 8),
+                    fmt=lambda fs: f"Preimage not found for {fs}")
+    _secret, payload_tag, padding, val_digest = outs
+    pt, pp = b.call("ingress", payload_tag, padding, val_digest,
+                    out_sizes=(1, 1))
+    b.ret(pt, pp)
+    return b.build()
+
+
+def car_cdr(digests):
+    b = FuncBuilder("car_cdr", ["rest_tag", "rest", "env"], 4, partial=True)
+    rest_tag = b.input("rest_tag")
+    rest = b.input("rest")
+    env = b.input("env")
+    nil = b.const(digests.lurk_symbol_ptr("nil"))
+    nil_tag = b.const(InternalTag.Nil)
+    err_tag = b.const(Tag.Err)
+    cons_tag = b.const(Tag.Cons)
+    invalid_form = b.const(EvalErr.InvalidForm)
+
+    def ret_err(bb):
+        bb.ret(err_tag, invalid_form, err_tag, invalid_form)
+
+    rest_not_cons = b.sub(rest_tag, cons_tag)
+
+    def cont(b2):
+        expr_tag, expr, rest_tag2, _r = b2.load(rest, [1, 1, 1, 1])
+        rest_not_nil = b2.sub(rest_tag2, nil_tag)
+
+        def cont2(b3):
+            vt, v = b3.call("eval", expr_tag, expr, env, out_sizes=(1, 1))
+
+            def c_err(b4):
+                b4.ret(vt, v, vt, v)
+
+            def c_cons(b4):
+                car_tag, car, cdr_tag, cdr = b4.load(v, [1, 1, 1, 1])
+                b4.ret(car_tag, car, cdr_tag, cdr)
+
+            def c_nil(b4):
+                b4.ret(nil_tag, nil, nil_tag, nil)
+
+            def c_str(b4):
+                empty = b4.const(0)
+                not_empty = b4.sub(v, empty)
+
+                def nonempty(b5):
+                    car_tag, car, cdr_tag, cdr = b5.load(v, [1, 1, 1, 1])
+                    b5.ret(car_tag, car, cdr_tag, cdr)
+
+                def is_empty(b5):
+                    str_tag = b5.const(Tag.Str)
+                    b5.ret(nil_tag, nil, str_tag, empty)
+
+                b4.if_(not_empty, nonempty, is_empty)
+
+            def not_cons(b4):
+                nc = b4.const(EvalErr.NotCons)
+                b4.ret(err_tag, nc, err_tag, nc)
+
+            b3.match(vt, [(int(Tag.Err), c_err), (int(Tag.Cons), c_cons),
+                          (int(InternalTag.Nil), c_nil),
+                          (int(Tag.Str), c_str)], default=not_cons)
+
+        b2.if_(rest_not_nil, ret_err, cont2)
+
+    b.if_(rest_not_cons, ret_err, cont)
+    return b.build()
+
+
+def equal(digests):
+    b = FuncBuilder("equal", ["rest_tag", "rest", "env", "eval_first"], 2,
+                    partial=True)
+    rest_tag = b.input("rest_tag")
+    rest = b.input("rest")
+    env = b.input("env")
+    eval_first = b.input("eval_first")
+    err_tag = b.const(Tag.Err)
+    cons_tag = b.const(Tag.Cons)
+    nil_tag = b.const(InternalTag.Nil)
+    invalid_form = b.const(EvalErr.InvalidForm)
+
+    def ret_err(bb):
+        bb.ret(err_tag, invalid_form)
+
+    rest_not_cons = b.sub(rest_tag, cons_tag)
+
+    def cont(b2):
+        exp1_tag, exp1, rest_tag2, rest2 = b2.load(rest, [1, 1, 1, 1])
+        rest_not_cons2 = b2.sub(rest_tag2, cons_tag)
+
+        def cont2(b3):
+            exp2_tag, exp2, rest_tag3, _r = b3.load(rest2, [1, 1, 1, 1])
+            rest_not_nil = b3.sub(rest_tag3, nil_tag)
+
+            def cont3(b4):
+                v2t, v2 = b4.call("eval", exp2_tag, exp2, env,
+                                  out_sizes=(1, 1))
+
+                def c_err(b5):
+                    b5.ret(v2t, v2)
+
+                def cont4(b5):
+                    def do_eval_first(b6):
+                        v1t, v1 = b6.call("eval", exp1_tag, exp1, env,
+                                          out_sizes=(1, 1))
+
+                        def c_err1(b7):
+                            b7.ret(v1t, v1)
+
+                        def cont5(b7):
+                            ieq, = b7.call("equal_inner", v1t, v1, v2t, v2,
+                                           out_sizes=(1,))
+
+                            def is_eq(b8):
+                                t_tag = b8.const(InternalTag.T)
+                                t = b8.const(digests.lurk_symbol_ptr("t"))
+                                b8.ret(t_tag, t)
+
+                            def not_eq(b8):
+                                b8.ret(nil_tag, ieq)
+
+                            b7.if_(ieq, is_eq, not_eq)
+
+                        b6.match(v1t, [(int(Tag.Err), c_err1)],
+                                 default=cont5)
+
+                    def no_eval_first(b6):
+                        ieq, = b6.call("equal_inner", exp1_tag, exp1, v2t,
+                                       v2, out_sizes=(1,))
+
+                        def is_eq(b7):
+                            t_tag = b7.const(InternalTag.T)
+                            t = b7.const(digests.lurk_symbol_ptr("t"))
+                            b7.ret(t_tag, t)
+
+                        def not_eq(b7):
+                            b7.ret(nil_tag, ieq)
+
+                        b6.if_(ieq, is_eq, not_eq)
+
+                    b5.if_(eval_first, do_eval_first, no_eval_first)
+
+                b4.match(v2t, [(int(Tag.Err), c_err)], default=cont4)
+
+            b3.if_(rest_not_nil, ret_err, cont3)
+
+        b2.if_(rest_not_cons2, ret_err, cont2)
+
+    b.if_(rest_not_cons, ret_err, cont)
+    return b.build()
+
+
+def equal_inner():
+    b = FuncBuilder("equal_inner", ["a_tag", "a", "b_tag", "bv"], 1)
+    a_tag = b.input("a_tag")
+    a = b.input("a")
+    b_tag = b.input("b_tag")
+    bv = b.input("bv")
+    not_eq_tag = b.sub(a_tag, b_tag)
+    zero = b.const(0)
+    one = b.const(1)
+
+    def tag_ne(bb):
+        bb.ret(zero)
+
+    def tags_eq(bb):
+        not_eq = bb.sub(a, bv)
+
+        def ptr_ne(b2):
+            def c_num(b3):
+                b3.ret(zero)
+
+            def c_char(b3):
+                a_bytes, = b3.load(a, [4])
+                b_bytes, = b3.load(bv, [4])
+                diff = b3.sub(a_bytes, b_bytes)
+
+                def ne(b4):
+                    b4.ret(zero)
+
+                def eq(b4):
+                    b4.ret(one)
+
+                b3.if_(diff, ne, eq)
+
+            def c_digest(b3):
+                a_digest, = b3.load(a, [8])
+                b_digest, = b3.load(bv, [8])
+                diff = b3.sub(a_digest, b_digest)
+
+                def ne(b4):
+                    b4.ret(zero)
+
+                def eq(b4):
+                    b4.ret(one)
+
+                b3.if_(diff, ne, eq)
+
+            def c_str(b3):
+                a_and_b = b3.mul(a, bv)
+
+                def nonzero(b4):
+                    a_fst, a_snd = b4.load(a, [2, 2])
+                    b_fst, b_snd = b4.load(bv, [2, 2])
+                    fst_eq, = b4.call("equal_inner", a_fst, b_fst,
+                                      out_sizes=(1,))
+                    snd_eq, = b4.call("equal_inner", a_snd, b_snd,
+                                      out_sizes=(1,))
+                    eq = b4.mul(fst_eq, snd_eq)
+                    b4.ret(eq)
+
+                def is_zero(b4):
+                    b4.ret(zero)
+
+                b3.if_(a_and_b, nonzero, is_zero)
+
+            def c_cons(b3):
+                a_fst, a_snd = b3.load(a, [2, 2])
+                b_fst, b_snd = b3.load(bv, [2, 2])
+                fst_eq, = b3.call("equal_inner", a_fst, b_fst,
+                                  out_sizes=(1,))
+                snd_eq, = b3.call("equal_inner", a_snd, b_snd,
+                                  out_sizes=(1,))
+                eq = b3.mul(fst_eq, snd_eq)
+                b3.ret(eq)
+
+            def c_fun_fix(b3):
+                trd_tag = b3.const(Tag.Env)
+                a_fst, a_snd, a_trd = b3.load(a, [2, 2, 1])
+                b_fst, b_snd, b_trd = b3.load(bv, [2, 2, 1])
+                fst_eq, = b3.call("equal_inner", a_fst, b_fst,
+                                  out_sizes=(1,))
+                snd_eq, = b3.call("equal_inner", a_snd, b_snd,
+                                  out_sizes=(1,))
+                trd_eq, = b3.call("equal_inner", trd_tag, a_trd, trd_tag,
+                                  b_trd, out_sizes=(1,))
+                eq = b3.mul(fst_eq, snd_eq)
+                eq = b3.mul(eq, trd_eq)
+                b3.ret(eq)
+
+            def c_env(b3):
+                a_and_b = b3.mul(a, bv)
+
+                def nonzero(b4):
+                    a_fst, a_snd, a_trd = b4.load(a, [2, 2, 1])
+                    b_fst, b_snd, b_trd = b4.load(bv, [2, 2, 1])
+                    fst_eq, = b4.call("equal_inner", a_fst, b_fst,
+                                      out_sizes=(1,))
+                    snd_eq, = b4.call("equal_inner", a_snd, b_snd,
+                                      out_sizes=(1,))
+                    trd_eq, = b4.call("equal_inner", a_tag, a_trd, a_tag,
+                                      b_trd, out_sizes=(1,))
+                    eq = b4.mul(fst_eq, snd_eq)
+                    eq = b4.mul(eq, trd_eq)
+                    b4.ret(eq)
+
+                def is_zero(b4):
+                    b4.ret(zero)
+
+                b3.if_(a_and_b, nonzero, is_zero)
+
+            b2.match(a_tag, [
+                (int(Tag.Num), c_num),
+                (int(Tag.Char), c_char),
+                ((int(Tag.Key), int(Tag.Sym), int(Tag.Builtin),
+                  int(Tag.Coroutine), int(Tag.U64), int(Tag.BigNum),
+                  int(Tag.Comm)), c_digest),
+                (int(Tag.Str), c_str),
+                (int(Tag.Cons), c_cons),
+                ((int(Tag.Fun), int(Tag.Fix)), c_fun_fix),
+                (int(Tag.Env), c_env),
+            ])
+
+        def ptr_eq(b2):
+            b2.ret(one)
+
+        bb.if_(not_eq, ptr_ne, ptr_eq)
+
+    b.if_(not_eq_tag, tag_ne, tags_eq)
+    return b.build()
+
+
+def eval_list():
+    b = FuncBuilder("eval_list", ["rest_tag", "rest", "env"], 2,
+                    partial=True)
+    rest_tag = b.input("rest_tag")
+    rest = b.input("rest")
+    env = b.input("env")
+
+    def c_nil(bb):
+        bb.ret(rest_tag, rest)
+
+    def c_cons(bb):
+        head_tag, head, rest_tag2, rest2 = bb.load(rest, [1, 1, 1, 1])
+        ht, h = bb.call("eval", head_tag, head, env, out_sizes=(1, 1))
+
+        def c_herr(b2):
+            b2.ret(ht, h)
+
+        def cont(b2):
+            rt, r = b2.call("eval_list", rest_tag2, rest2, env,
+                            out_sizes=(1, 1))
+
+            def c_rerr(b3):
+                b3.ret(rt, r)
+
+            def cont2(b3):
+                cons_tag = b3.const(Tag.Cons)
+                cons = b3.store(ht, h, rt, r)
+                b3.ret(cons_tag, cons)
+
+            b2.match(rt, [(int(Tag.Err), c_rerr)], default=cont2)
+
+        bb.match(ht, [(int(Tag.Err), c_herr)], default=cont)
+
+    def bad(bb):
+        err_tag = bb.const(Tag.Err)
+        err = bb.const(EvalErr.InvalidForm)
+        bb.ret(err_tag, err)
+
+    b.match(rest_tag, [(int(InternalTag.Nil), c_nil),
+                       (int(Tag.Cons), c_cons)], default=bad)
+    return b.build()
+
+
+def eval_begin():
+    b = FuncBuilder("eval_begin", ["rest_tag", "rest", "env"], 2,
+                    partial=True)
+    rest_tag = b.input("rest_tag")
+    rest = b.input("rest")
+    env = b.input("env")
+
+    def c_nil(bb):
+        bb.ret(rest_tag, rest)
+
+    def c_cons(bb):
+        head_tag, head, rest_tag2, rest2 = bb.load(rest, [1, 1, 1, 1])
+        ht, h = bb.call("eval", head_tag, head, env, out_sizes=(1, 1))
+
+        def c_herr(b2):
+            b2.ret(ht, h)
+
+        def cont(b2):
+            nil_tag = b2.const(InternalTag.Nil)
+            rest_not_nil = b2.sub(nil_tag, rest_tag2)
+
+            def more(b3):
+                rt, r = b3.call("eval_begin", rest_tag2, rest2, env,
+                                out_sizes=(1, 1))
+                b3.ret(rt, r)
+
+            def done(b3):
+                b3.ret(ht, h)
+
+            b2.if_(rest_not_nil, more, done)
+
+        bb.match(ht, [(int(Tag.Err), c_herr)], default=cont)
+
+    def bad(bb):
+        err_tag = bb.const(Tag.Err)
+        err = bb.const(EvalErr.InvalidForm)
+        bb.ret(err_tag, err)
+
+    b.match(rest_tag, [(int(InternalTag.Nil), c_nil),
+                       (int(Tag.Cons), c_cons)], default=bad)
+    return b.build()
+
+
+def eval_binop_num(digests):
+    b = FuncBuilder("eval_binop_num",
+                    ["head", "exp1_tag", "exp1", "exp2_tag", "exp2", "env"],
+                    2, partial=True)
+    head = b.input("head")
+    exp1_tag = b.input("exp1_tag")
+    exp1 = b.input("exp1")
+    exp2_tag = b.input("exp2_tag")
+    exp2 = b.input("exp2")
+    env = b.input("env")
+    err_tag = b.const(Tag.Err)
+    num_tag = b.const(Tag.Num)
+    u64_tag = b.const(Tag.U64)
+    nil_tag = b.const(InternalTag.Nil)
+    err_div_zero = b.const(EvalErr.DivByZero)
+    t = b.const(digests.lurk_symbol_ptr("t"))
+    nil = b.const(digests.lurk_symbol_ptr("nil"))
+
+    def bp(name):
+        return digests.builtin_symbol_ptr(name)
+
+    v1t, v1 = b.call("eval", exp1_tag, exp1, env, out_sizes=(1, 1))
+
+    def c_err1(bb):
+        bb.ret(v1t, v1)
+
+    def cont1(bb):
+        v2t, v2 = bb.call("eval", exp2_tag, exp2, env, out_sizes=(1, 1))
+
+        def c_err2(b2):
+            b2.ret(v2t, v2)
+
+        def cont2(b2):
+            t_tag = b2.const(InternalTag.T)
+            tags, = b2.split([v1t, v2t], [2])
+
+            def _bool_ret(b5, res, true_first):
+                def yes(b6):
+                    if true_first:
+                        b6.ret(t_tag, t)
+                    else:
+                        b6.ret(nil_tag, nil)
+
+                def no(b6):
+                    if true_first:
+                        b6.ret(nil_tag, nil)
+                    else:
+                        b6.ret(t_tag, t)
+
+                b5.if_(res, yes, no)
+
+            def c_u64(b3):
+                def c_add(b4):
+                    res, = b4.call("u64_add", v1, v2, out_sizes=(1,))
+                    b4.ret(u64_tag, res)
+
+                def c_sub(b4):
+                    res, = b4.call("u64_sub", v1, v2, out_sizes=(1,))
+                    b4.ret(u64_tag, res)
+
+                def c_mul(b4):
+                    res, = b4.call("u64_mul", v1, v2, out_sizes=(1,))
+                    b4.ret(u64_tag, res)
+
+                def c_divmod(b4):
+                    is_zero, = b4.call("u64_iszero", v2, out_sizes=(1,))
+
+                    def div0(b5):
+                        b5.ret(err_tag, err_div_zero)
+
+                    def cont(b5):
+                        quot, rem = b5.call("u64_divrem", v1, v2,
+                                            out_sizes=(1, 1))
+
+                        def c_div(b6):
+                            b6.ret(u64_tag, quot)
+
+                        def c_mod(b6):
+                            b6.ret(u64_tag, rem)
+
+                        b5.match(head, [(bp("/"), c_div), (bp("%"), c_mod)])
+
+                    b4.if_(is_zero, div0, cont)
+
+                def c_lt(b4):
+                    res, = b4.call("u64_lessthan", v1, v2, out_sizes=(1,))
+                    _bool_ret(b4, res, True)
+
+                def c_ge(b4):
+                    res, = b4.call("u64_lessthan", v1, v2, out_sizes=(1,))
+                    _bool_ret(b4, res, False)
+
+                def c_gt(b4):
+                    res, = b4.call("u64_lessthan", v2, v1, out_sizes=(1,))
+                    _bool_ret(b4, res, True)
+
+                def c_le(b4):
+                    res, = b4.call("u64_lessthan", v2, v1, out_sizes=(1,))
+                    _bool_ret(b4, res, False)
+
+                def c_eq(b4):
+                    res, = b4.call("digest_equal", v1, v2, out_sizes=(1,))
+                    _bool_ret(b4, res, True)
+
+                b3.match(head, [
+                    (bp("+"), c_add), (bp("-"), c_sub), (bp("*"), c_mul),
+                    ((bp("/"), bp("%")), c_divmod),
+                    (bp("<"), c_lt), (bp(">="), c_ge), (bp(">"), c_gt),
+                    (bp("<="), c_le), (bp("="), c_eq),
+                ])
+
+            def c_num(b3):
+                def c_add(b4):
+                    res = b4.add(v1, v2)
+                    b4.ret(num_tag, res)
+
+                def c_sub(b4):
+                    res = b4.sub(v1, v2)
+                    b4.ret(num_tag, res)
+
+                def c_mul(b4):
+                    res = b4.mul(v1, v2)
+                    b4.ret(num_tag, res)
+
+                def c_div(b4):
+                    def nonzero(b5):
+                        res = b5.div(v1, v2)
+                        b5.ret(num_tag, res)
+
+                    def zero(b5):
+                        b5.ret(err_tag, err_div_zero)
+
+                    b4.if_(v2, nonzero, zero)
+
+                def c_eq(b4):
+                    diff = b4.sub(v1, v2)
+
+                    def ne(b5):
+                        b5.ret(nil_tag, nil)
+
+                    def eq(b5):
+                        b5.ret(t_tag, t)
+
+                    b4.if_(diff, ne, eq)
+
+                def c_not_u64(b4):
+                    err = b4.const(EvalErr.NotU64)
+                    b4.ret(err_tag, err)
+
+                b3.match(head, [
+                    (bp("+"), c_add), (bp("-"), c_sub), (bp("*"), c_mul),
+                    (bp("/"), c_div), (bp("="), c_eq),
+                    ((bp("%"), bp("<"), bp(">"), bp("<="), bp(">=")),
+                     c_not_u64),
+                ])
+
+            def c_bignum(b3):
+                def c_lt(b4):
+                    res, = b4.call("big_num_lessthan", v1, v2,
+                                   out_sizes=(1,))
+                    _bool_ret(b4, res, True)
+
+                def c_ge(b4):
+                    res, = b4.call("big_num_lessthan", v1, v2,
+                                   out_sizes=(1,))
+                    _bool_ret(b4, res, False)
+
+                def c_gt(b4):
+                    res, = b4.call("big_num_lessthan", v2, v1,
+                                   out_sizes=(1,))
+                    _bool_ret(b4, res, True)
+
+                def c_le(b4):
+                    res, = b4.call("big_num_lessthan", v2, v1,
+                                   out_sizes=(1,))
+                    _bool_ret(b4, res, False)
+
+                def c_eq(b4):
+                    res, = b4.call("digest_equal", v2, v1, out_sizes=(1,))
+                    _bool_ret(b4, res, True)
+
+                def c_arith(b4):
+                    err = b4.const(EvalErr.InvalidArg)
+                    b4.ret(err_tag, err)
+
+                b3.match(head, [
+                    (bp("<"), c_lt), (bp(">="), c_ge), (bp(">"), c_gt),
+                    (bp("<="), c_le), (bp("="), c_eq),
+                    ((bp("+"), bp("-"), bp("*"), bp("/"), bp("%")), c_arith),
+                ])
+
+            def bad(b3):
+                err = b3.const(EvalErr.InvalidArg)
+                b3.ret(err_tag, err)
+
+            b2.match_many(tags, [
+                ((int(Tag.U64), int(Tag.U64)), c_u64),
+                ((int(Tag.Num), int(Tag.Num)), c_num),
+                ((int(Tag.BigNum), int(Tag.BigNum)), c_bignum),
+            ], default=bad)
+
+        bb.match(v2t, [(int(Tag.Err), c_err2)], default=cont2)
+
+    b.match(v1t, [(int(Tag.Err), c_err1)], default=cont1)
+    return b.build()
+
+
+def eval_binop_misc(digests):
+    b = FuncBuilder("eval_binop_misc",
+                    ["head", "exp1_tag", "exp1", "exp2_tag", "exp2", "env"],
+                    2, partial=True)
+    head = b.input("head")
+    exp1_tag = b.input("exp1_tag")
+    exp1 = b.input("exp1")
+    exp2_tag = b.input("exp2_tag")
+    exp2 = b.input("exp2")
+    env = b.input("env")
+    err_tag = b.const(Tag.Err)
+    cons_tag = b.const(Tag.Cons)
+
+    def bp(name):
+        return digests.builtin_symbol_ptr(name)
+
+    v1t, v1 = b.call("eval", exp1_tag, exp1, env, out_sizes=(1, 1))
+
+    def c_err1(bb):
+        bb.ret(v1t, v1)
+
+    def cont1(bb):
+        v2t, v2 = bb.call("eval", exp2_tag, exp2, env, out_sizes=(1, 1))
+
+        def c_err2(b2):
+            b2.ret(v2t, v2)
+
+        def cont2(b2):
+            def c_cons(b3):
+                cons = b3.store(v1t, v1, v2t, v2)
+                b3.ret(cons_tag, cons)
+
+            def c_strcons(b3):
+                char_tag = b3.const(Tag.Char)
+                str_tag = b3.const(Tag.Str)
+                strcons = b3.store(v1t, v1, v2t, v2)
+                not_char = b3.sub(v1t, char_tag)
+                not_str = b3.sub(v2t, str_tag)
+
+                def nc(b4):
+                    err = b4.const(EvalErr.NotChar)
+                    b4.ret(err_tag, err)
+
+                def cont(b4):
+                    def ns(b5):
+                        err = b5.const(EvalErr.NotString)
+                        b5.ret(err_tag, err)
+
+                    def ok(b5):
+                        b5.ret(str_tag, strcons)
+
+                    b4.if_(not_str, ns, ok)
+
+                b3.if_(not_char, nc, cont)
+
+            b2.match(head, [(bp("cons"), c_cons), (bp("strcons"), c_strcons)])
+
+        bb.match(v2t, [(int(Tag.Err), c_err2)], default=cont2)
+
+    b.match(v1t, [(int(Tag.Err), c_err1)], default=cont1)
+    return b.build()
+
+
+def eval_unop(digests):
+    b = FuncBuilder("eval_unop", ["head", "rest_tag", "rest", "env"], 2,
+                    partial=True)
+    head = b.input("head")
+    rest_tag = b.input("rest_tag")
+    rest = b.input("rest")
+    env = b.input("env")
+    err_tag = b.const(Tag.Err)
+    cons_tag = b.const(Tag.Cons)
+    nil_tag = b.const(InternalTag.Nil)
+    invalid_form = b.const(EvalErr.InvalidForm)
+
+    def bp(name):
+        return digests.builtin_symbol_ptr(name)
+
+    def ret_err(bb):
+        bb.ret(err_tag, invalid_form)
+
+    rest_not_cons = b.sub(rest_tag, cons_tag)
+
+    def cont(b2):
+        expr_tag, expr, rest_tag2, _r = b2.load(rest, [1, 1, 1, 1])
+        rest_not_nil = b2.sub(rest_tag2, nil_tag)
+
+        def cont2(b3):
+            vt, v = b3.call("eval", expr_tag, expr, env, out_sizes=(1, 1))
+
+            def c_err(b4):
+                b4.ret(vt, v)
+
+            def cont3(b4):
+                def c_atom(b5):
+                    val_not_cons = b5.sub(vt, cons_tag)
+
+                    def yes(b6):
+                        t_tag = b6.const(InternalTag.T)
+                        t = b6.const(digests.lurk_symbol_ptr("t"))
+                        b6.ret(t_tag, t)
+
+                    def no(b6):
+                        nil = b6.const(digests.lurk_symbol_ptr("nil"))
+                        b6.ret(nil_tag, nil)
+
+                    b5.if_(val_not_cons, yes, no)
+
+                def c_emit(b5):
+                    b5.emit(vt, v)
+                    b5.ret(vt, v)
+
+                def c_u64(b5):
+                    def is_u64(b6):
+                        b6.ret(vt, v)
+
+                    def is_char(b6):
+                        bytes4, = b6.load(v, [4])
+                        padding = b6.array([0] * 4)
+                        val = b6.store(bytes4, padding)
+                        u64t = b6.const(Tag.U64)
+                        b6.ret(u64t, val)
+
+                    def bad(b6):
+                        err = b6.const(EvalErr.CantCastToU64)
+                        b6.ret(err_tag, err)
+
+                    b5.match(vt, [(int(Tag.U64), is_u64),
+                                  (int(Tag.Char), is_char)], default=bad)
+
+                def c_char(b5):
+                    def is_char(b6):
+                        b6.ret(vt, v)
+
+                    def is_u64(b6):
+                        bytes4, _ignored = b6.load(v, [4, 4],
+                                                   names=("bytes4", "_ig"))
+                        val = b6.store(bytes4)
+                        chart = b6.const(Tag.Char)
+                        b6.ret(chart, val)
+
+                    def bad(b6):
+                        err = b6.const(EvalErr.CantCastToChar)
+                        b6.ret(err_tag, err)
+
+                    b5.match(vt, [(int(Tag.Char), is_char),
+                                  (int(Tag.U64), is_u64)], default=bad)
+
+                def c_bignum(b5):
+                    def is_big(b6):
+                        b6.ret(vt, v)
+
+                    def is_comm(b6):
+                        bt = b6.const(Tag.BigNum)
+                        b6.ret(bt, v)
+
+                    def bad(b6):
+                        err = b6.const(EvalErr.CantCastToBigNum)
+                        b6.ret(err_tag, err)
+
+                    b5.match(vt, [(int(Tag.BigNum), is_big),
+                                  (int(Tag.Comm), is_comm)], default=bad)
+
+                def c_comm(b5):
+                    def is_big(b6):
+                        ct = b6.const(Tag.Comm)
+                        b6.ret(ct, v)
+
+                    def is_comm(b6):
+                        b6.ret(vt, v)
+
+                    def bad(b6):
+                        err = b6.const(EvalErr.CantCastToComm)
+                        b6.ret(err_tag, err)
+
+                    b5.match(vt, [(int(Tag.BigNum), is_big),
+                                  (int(Tag.Comm), is_comm)], default=bad)
+
+                b4.match(head, [
+                    (bp("atom"), c_atom), (bp("emit"), c_emit),
+                    (bp("u64"), c_u64), (bp("char"), c_char),
+                    (bp("bignum"), c_bignum), (bp("comm"), c_comm),
+                ])
+
+            b3.match(vt, [(int(Tag.Err), c_err)], default=cont3)
+
+        b2.if_(rest_not_nil, ret_err, cont2)
+
+    b.if_(rest_not_cons, ret_err, cont)
+    return b.build()
+
+
+def eval_opening_unop(digests):
+    b = FuncBuilder("eval_opening_unop", ["head", "rest_tag", "rest", "env"],
+                    2, partial=True)
+    head = b.input("head")
+    rest_tag = b.input("rest_tag")
+    rest = b.input("rest")
+    env = b.input("env")
+    err_tag = b.const(Tag.Err)
+    cons_tag = b.const(Tag.Cons)
+    nil_tag = b.const(InternalTag.Nil)
+    invalid_form = b.const(EvalErr.InvalidForm)
+
+    def bp(name):
+        return digests.builtin_symbol_ptr(name)
+
+    def ret_err(bb):
+        bb.ret(err_tag, invalid_form)
+
+    rest_not_cons = b.sub(rest_tag, cons_tag)
+
+    def cont(b2):
+        expr_tag, expr, rest_tag2, _r = b2.load(rest, [1, 1, 1, 1])
+        rest_not_nil = b2.sub(rest_tag2, nil_tag)
+
+        def cont2(b3):
+            vt, v = b3.call("eval", expr_tag, expr, env, out_sizes=(1, 1))
+
+            def c_err(b4):
+                b4.ret(vt, v)
+
+            def cont3(b4):
+                def c_commit(b5):
+                    vt2, val_digest = b5.call("egress", vt, v,
+                                              out_sizes=(1, 8))
+                    padding = b5.array([0] * 7)
+                    zero = b5.const(0)
+                    comm_hash, = b5.call("hash3", zero, padding, vt2,
+                                         padding, val_digest, out_sizes=(8,))
+                    comm_tag = b5.const(Tag.Comm)
+                    comm_ptr = b5.store(comm_hash)
+                    b5.ret(comm_tag, comm_ptr)
+
+                def open_secret(b5):
+                    def c_comm(b6):
+                        comm_hash, = b6.load(v, [8])
+                        outs = b6.preimg(
+                            "hash3", comm_hash, out_sizes=(8, 1, 7, 8),
+                            fmt=lambda fs: f"Preimage not found for {fs}")
+                        secret, tag2, padding, val_digest = outs
+
+                        def c_open(b7):
+                            t2, ptr = b7.call("ingress", tag2, padding,
+                                              val_digest, out_sizes=(1, 1))
+                            b7.ret(t2, ptr)
+
+                        def c_secret(b7):
+                            ptr = b7.store(secret)
+                            bt = b7.const(Tag.BigNum)
+                            b7.ret(bt, ptr)
+
+                        b6.match(head, [(bp("open"), c_open),
+                                        (bp("secret"), c_secret)])
+
+                    def cant(b6):
+                        co = b6.const(EvalErr.CantOpen)
+                        b6.ret(err_tag, co)
+
+                    b5.match(vt, [((int(Tag.Comm), int(Tag.BigNum)), c_comm)],
+                             default=cant)
+
+                b4.match(head, [(bp("commit"), c_commit)],
+                         default=open_secret)
+
+            b3.match(vt, [(int(Tag.Err), c_err)], default=cont3)
+
+        b2.if_(rest_not_nil, ret_err, cont2)
+
+    b.if_(rest_not_cons, ret_err, cont)
+    return b.build()
+
+
+def eval_hide():
+    b = FuncBuilder("eval_hide", ["rest_tag", "rest", "env"], 2,
+                    partial=True)
+    rest_tag = b.input("rest_tag")
+    rest = b.input("rest")
+    env = b.input("env")
+    err_tag = b.const(Tag.Err)
+    cons_tag = b.const(Tag.Cons)
+    nil_tag = b.const(InternalTag.Nil)
+    invalid_form = b.const(EvalErr.InvalidForm)
+
+    def ret_err(bb):
+        bb.ret(err_tag, invalid_form)
+
+    rest_not_cons = b.sub(rest_tag, cons_tag)
+
+    def cont(b2):
+        exp1_tag, exp1, rest_tag2, rest2 = b2.load(rest, [1, 1, 1, 1])
+        rest_not_cons2 = b2.sub(rest_tag2, cons_tag)
+
+        def cont2(b3):
+            exp2_tag, exp2, rest_tag3, _r = b3.load(rest2, [1, 1, 1, 1])
+            rest_not_nil = b3.sub(rest_tag3, nil_tag)
+
+            def cont3(b4):
+                v1t, v1 = b4.call("eval", exp1_tag, exp1, env,
+                                  out_sizes=(1, 1))
+
+                def c_err1(b5):
+                    b5.ret(v1t, v1)
+
+                def cont4(b5):
+                    v2t, v2 = b5.call("eval", exp2_tag, exp2, env,
+                                      out_sizes=(1, 1))
+
+                    def c_err2(b6):
+                        b6.ret(v2t, v2)
+
+                    def cont5(b6):
+                        def c_big(b7):
+                            secret, = b7.load(v1, [8])
+                            v2t2, v2_digest = b7.call("egress", v2t, v2,
+                                                      out_sizes=(1, 8))
+                            padding = b7.array([0] * 7)
+                            comm_hash, = b7.call("hash3", secret, v2t2,
+                                                 padding, v2_digest,
+                                                 out_sizes=(8,))
+                            comm_ptr = b7.store(comm_hash)
+                            comm_tag = b7.const(Tag.Comm)
+                            b7.ret(comm_tag, comm_ptr)
+
+                        def not_big(b7):
+                            nb = b7.const(EvalErr.NotBigNum)
+                            b7.ret(err_tag, nb)
+
+                        b6.match(v1t, [(int(Tag.BigNum), c_big)],
+                                 default=not_big)
+
+                    b5.match(v2t, [(int(Tag.Err), c_err2)], default=cont5)
+
+                b4.match(v1t, [(int(Tag.Err), c_err1)], default=cont4)
+
+            b3.if_(rest_not_nil, ret_err, cont3)
+
+        b2.if_(rest_not_cons2, ret_err, cont2)
+
+    b.if_(rest_not_cons, ret_err, cont)
+    return b.build()
+
+
+def eval_let():
+    b = FuncBuilder("eval_let", ["binds_tag", "binds", "body_tag", "body",
+                                 "env"], 2, partial=True)
+    binds_tag = b.input("binds_tag")
+    binds = b.input("binds")
+    body_tag = b.input("body_tag")
+    body = b.input("body")
+    env = b.input("env")
+    err_tag = b.const(Tag.Err)
+    invalid_form = b.const(EvalErr.InvalidForm)
+
+    def c_nil(bb):
+        rt, r = bb.call("eval_begin", body_tag, body, env, out_sizes=(1, 1))
+        bb.ret(rt, r)
+
+    def c_cons(bb):
+        cons_tag = bb.const(Tag.Cons)
+        nil_tag = bb.const(InternalTag.Nil)
+        bind_tag, bind, rest_binds_tag, rest_binds = bb.load(
+            binds, [1, 1, 1, 1])
+        bind_not_cons = bb.sub(bind_tag, cons_tag)
+
+        def ret_err(b2):
+            b2.ret(err_tag, invalid_form)
+
+        def cont(b2):
+            param_tag, param, rest_tag, rest = b2.load(bind, [1, 1, 1, 1])
+            rest_not_cons = b2.sub(rest_tag, cons_tag)
+
+            def cont2(b3):
+                def c_sym(b4):
+                    expr_tag, expr, rest_tag2, _r = b4.load(
+                        rest, [1, 1, 1, 1])
+                    rest_not_nil = b4.sub(rest_tag2, nil_tag)
+
+                    def cont3(b5):
+                        vt, v = b5.call("eval", expr_tag, expr, env,
+                                        out_sizes=(1, 1))
+
+                        def c_err(b6):
+                            b6.ret(vt, v)
+
+                        def cont4(b6):
+                            ext_env = b6.store(param_tag, param, vt, v, env)
+                            rest_binds_not_nil = b6.sub(nil_tag,
+                                                        rest_binds_tag)
+
+                            def more(b7):
+                                rt, r = b7.call("eval_let", rest_binds_tag,
+                                                rest_binds, body_tag, body,
+                                                ext_env, out_sizes=(1, 1))
+                                b7.ret(rt, r)
+
+                            def done(b7):
+                                rt, r = b7.call("eval_begin", body_tag, body,
+                                                ext_env, out_sizes=(1, 1))
+                                b7.ret(rt, r)
+
+                            b6.if_(rest_binds_not_nil, more, done)
+
+                        b5.match(vt, [(int(Tag.Err), c_err)], default=cont4)
+
+                    b4.if_(rest_not_nil, ret_err, cont3)
+
+                def bad_var(b4):
+                    err = b4.const(EvalErr.IllegalBindingVar)
+                    b4.ret(err_tag, err)
+
+                b3.match(param_tag, [
+                    ((int(Tag.Sym), int(Tag.Builtin), int(Tag.Coroutine)),
+                     c_sym),
+                ], default=bad_var)
+
+            b2.if_(rest_not_cons, ret_err, cont2)
+
+        bb.if_(bind_not_cons, ret_err, cont)
+
+    def bad(bb):
+        bb.ret(err_tag, invalid_form)
+
+    b.match(binds_tag, [(int(InternalTag.Nil), c_nil),
+                        (int(Tag.Cons), c_cons)], default=bad)
+    return b.build()
+
+
+def extend_env_with_mutuals():
+    b = FuncBuilder("extend_env_with_mutuals",
+                    ["binds_tag", "binds", "mutual_binds", "mutual_env"], 2)
+    binds_tag = b.input("binds_tag")
+    binds = b.input("binds")
+    mutual_binds = b.input("mutual_binds")
+    mutual_env = b.input("mutual_env")
+    err_tag = b.const(Tag.Err)
+    env_tag = b.const(Tag.Env)
+    invalid_form_err = b.const(EvalErr.InvalidForm)
+
+    def c_nil(bb):
+        bb.ret(env_tag, mutual_env)
+
+    def c_cons(bb):
+        cons_tag = bb.const(Tag.Cons)
+        binding_tag, binding, binds_tag2, binds2 = bb.load(
+            binds, [1, 1, 1, 1])
+        binding_not_cons = bb.sub(binding_tag, cons_tag)
+
+        def ret_err(b2):
+            b2.ret(err_tag, invalid_form_err)
+
+        def cont(b2):
+            var_tag, var, rest_tag, rest = b2.load(binding, [1, 1, 1, 1])
+            rest_tag_not_cons = b2.sub(rest_tag, cons_tag)
+
+            def cont2(b3):
+                expr_tag, expr, rest_tag2, _r = b3.load(rest, [1, 1, 1, 1])
+                nil_tag = b3.const(InternalTag.Nil)
+                rest_tag_not_nil = b3.sub(rest_tag2, nil_tag)
+
+                def cont3(b4):
+                    def c_sym(b5):
+                        eet, ee = b5.call("extend_env_with_mutuals",
+                                          binds_tag2, binds2, mutual_binds,
+                                          mutual_env, out_sizes=(1, 1))
+
+                        def c_err(b6):
+                            b6.ret(eet, ee)
+
+                        def cont4(b6):
+                            fix_tag = b6.const(Tag.Fix)
+                            fix = b6.store(expr_tag, expr, cons_tag,
+                                           mutual_binds, mutual_env)
+                            res_env = b6.store(var_tag, var, fix_tag, fix,
+                                               ee)
+                            b6.ret(env_tag, res_env)
+
+                        b5.match(eet, [(int(Tag.Err), c_err)],
+                                 default=cont4)
+
+                    def bad_var(b5):
+                        err = b5.const(EvalErr.IllegalBindingVar)
+                        b5.ret(err_tag, err)
+
+                    b4.match(var_tag, [
+                        ((int(Tag.Sym), int(Tag.Builtin),
+                          int(Tag.Coroutine)), c_sym),
+                    ], default=bad_var)
+
+                b3.if_(rest_tag_not_nil, ret_err, cont3)
+
+            b2.if_(rest_tag_not_cons, ret_err, cont2)
+
+        bb.if_(binding_not_cons, ret_err, cont)
+
+    def bad(bb):
+        bb.ret(err_tag, invalid_form_err)
+
+    b.match(binds_tag, [(int(InternalTag.Nil), c_nil),
+                        (int(Tag.Cons), c_cons)], default=bad)
+    return b.build()
+
+
+def eval_letrec_bindings():
+    b = FuncBuilder("eval_letrec_bindings", ["init_env", "ext_env"], 2,
+                    partial=True)
+    init_env = b.input("init_env")
+    ext_env = b.input("ext_env")
+    not_eq = b.sub(ext_env, init_env)
+
+    def differ(bb):
+        _var_tag, _var, val_tag, val, ext_env2 = bb.load(
+            ext_env, [1, 1, 1, 1, 1], names=("_vt", "_v", "valt", "val",
+                                             "ext2"))
+        fix_tag = bb.const(Tag.Fix)
+        bb.assert_eq(fix_tag, val_tag)
+        nil_env = bb.const(0)
+        rt, r = bb.call("eval", val_tag, val, nil_env, out_sizes=(1, 1))
+
+        def c_err(b2):
+            b2.ret(rt, r)
+
+        def cont(b2):
+            rt2, r2 = b2.call("eval_letrec_bindings", init_env, ext_env2,
+                              out_sizes=(1, 1))
+            b2.ret(rt2, r2)
+
+        bb.match(rt, [(int(Tag.Err), c_err)], default=cont)
+
+    def same(bb):
+        env_tag = bb.const(Tag.Env)
+        bb.ret(env_tag, init_env)
+
+    b.if_(not_eq, differ, same)
+    return b.build()
+
+
+def eval_letrec():
+    b = FuncBuilder("eval_letrec", ["binds_tag", "binds", "body_tag",
+                                    "body", "env"], 2, partial=True)
+    binds_tag = b.input("binds_tag")
+    binds = b.input("binds")
+    body_tag = b.input("body_tag")
+    body = b.input("body")
+    env = b.input("env")
+    eet, ee = b.call("extend_env_with_mutuals", binds_tag, binds, binds, env,
+                     out_sizes=(1, 1))
+
+    def c_err(bb):
+        bb.ret(eet, ee)
+
+    def cont(bb):
+        rt, r = bb.call("eval_letrec_bindings", env, ee, out_sizes=(1, 1))
+
+        def c_err2(b2):
+            b2.ret(rt, r)
+
+        def cont2(b2):
+            rt2, r2 = b2.call("eval_begin", body_tag, body, ee,
+                              out_sizes=(1, 1))
+            b2.ret(rt2, r2)
+
+        bb.match(rt, [(int(Tag.Err), c_err2)], default=cont2)
+
+    b.match(eet, [(int(Tag.Err), c_err)], default=cont)
+    return b.build()
+
+
+def apply_func(digests):
+    b = FuncBuilder("apply", ["head_tag", "head", "args_tag", "args",
+                              "args_env"], 2, partial=True)
+    head_tag = b.input("head_tag")
+    head = b.input("head")
+    args_tag = b.input("args_tag")
+    args = b.input("args")
+    args_env = b.input("args_env")
+    err_tag = b.const(Tag.Err)
+    fun_tag = b.const(Tag.Fun)
+    head_not_fun = b.sub(head_tag, fun_tag)
+
+    def not_fun(bb):
+        err = bb.const(EvalErr.ApplyNonFunc)
+        bb.ret(err_tag, err)
+
+    def is_fun(bb):
+        params_tag, params, body_tag, body, func_env = bb.load(
+            head, [1, 1, 1, 1, 1])
+
+        def apply_block(b3, param_tag, param, rest_params_tag, rest_params):
+            """The duplicated apply block (eval_direct.rs:1863-1928)."""
+            def c_anil(b4):
+                b4.ret(head_tag, head)
+
+            def c_acons(b4):
+                arg_tag, arg, rest_args_tag, rest_args = b4.load(
+                    args, [1, 1, 1, 1])
+
+                def c_psym(b5):
+                    at, a = b5.call("eval", arg_tag, arg, args_env,
+                                    out_sizes=(1, 1))
+
+                    def c_aerr(b6):
+                        b6.ret(at, a)
+
+                    def cont(b6):
+                        ext_env = b6.store(param_tag, param, at, a, func_env)
+                        ext_fun = b6.store(rest_params_tag, rest_params,
+                                           body_tag, body, ext_env)
+                        rt, r = b6.call("apply", fun_tag, ext_fun,
+                                        rest_args_tag, rest_args, args_env,
+                                        out_sizes=(1, 1))
+                        b6.ret(rt, r)
+
+                    b5.match(at, [(int(Tag.Err), c_aerr)], default=cont)
+
+                def bad_var(b5):
+                    err = b5.const(EvalErr.IllegalBindingVar)
+                    b5.ret(err_tag, err)
+
+                b4.match(param_tag, [
+                    ((int(Tag.Sym), int(Tag.Builtin), int(Tag.Coroutine)),
+                     c_psym),
+                ], default=bad_var)
+
+            def bad_args(b4):
+                err = b4.const(EvalErr.ArgsNotList)
+                b4.ret(err_tag, err)
+
+            b3.match(args_tag, [(int(InternalTag.Nil), c_anil),
+                                (int(Tag.Cons), c_acons)], default=bad_args)
+
+        def c_pnil(b2):
+            rt, r = b2.call("eval_begin", body_tag, body, func_env,
+                            out_sizes=(1, 1))
+
+            def c_rerr(b3):
+                b3.ret(rt, r)
+
+            def cont(b3):
+                def c_anil(b4):
+                    b4.ret(rt, r)
+
+                def c_acons(b4):
+                    art, ar = b4.call("apply", rt, r, args_tag, args,
+                                      args_env, out_sizes=(1, 1))
+                    b4.ret(art, ar)
+
+                def bad_args(b4):
+                    err = b4.const(EvalErr.ArgsNotList)
+                    b4.ret(err_tag, err)
+
+                b3.match(args_tag, [(int(InternalTag.Nil), c_anil),
+                                    (int(Tag.Cons), c_acons)],
+                         default=bad_args)
+
+            b2.match(rt, [(int(Tag.Err), c_rerr)], default=cont)
+
+        def c_pcons(b2):
+            param_tag, param, rest_params_tag, rest_params = b2.load(
+                params, [1, 1, 1, 1])
+
+            def c_psym(b3):
+                rest_sym = b3.const(digests.lurk_symbol_ptr("&rest"))
+                is_not_rest_sym = b3.sub(param, rest_sym)
+
+                def is_rest(b4):
+                    def c_rnil(b5):
+                        err = b5.const(EvalErr.ParamInvalidRest)
+                        b5.ret(err_tag, err)
+
+                    def c_rcons(b5):
+                        param_tag2, param2, rest_params_tag2, rest_params2 = \
+                            b5.load(rest_params, [1, 1, 1, 1])
+
+                        def c_p2sym(b6):
+                            def c_r2nil(b7):
+                                at, a = b7.call("eval_list", args_tag, args,
+                                                args_env, out_sizes=(1, 1))
+
+                                def c_aerr(b8):
+                                    b8.ret(at, a)
+
+                                def cont(b8):
+                                    ext_env = b8.store(param_tag2, param2,
+                                                       at, a, func_env)
+                                    ext_fun = b8.store(rest_params_tag2,
+                                                       rest_params2,
+                                                       body_tag, body,
+                                                       ext_env)
+                                    nil_tag = b8.const(InternalTag.Nil)
+                                    nil = b8.const(
+                                        digests.lurk_symbol_ptr("nil"))
+                                    rt, r = b8.call("apply", fun_tag,
+                                                    ext_fun, nil_tag, nil,
+                                                    args_env,
+                                                    out_sizes=(1, 1))
+                                    b8.ret(rt, r)
+
+                                b7.match(at, [(int(Tag.Err), c_aerr)],
+                                         default=cont)
+
+                            def bad_rest(b7):
+                                err = b7.const(EvalErr.ParamInvalidRest)
+                                b7.ret(err_tag, err)
+
+                            b6.match(rest_params_tag2,
+                                     [(int(InternalTag.Nil), c_r2nil)],
+                                     default=bad_rest)
+
+                        def bad_var(b6):
+                            err = b6.const(EvalErr.IllegalBindingVar)
+                            b6.ret(err_tag, err)
+
+                        b5.match(param_tag2, [
+                            ((int(Tag.Sym), int(Tag.Builtin),
+                              int(Tag.Coroutine)), c_p2sym),
+                        ], default=bad_var)
+
+                    def bad_params(b5):
+                        err = b5.const(EvalErr.ParamsNotList)
+                        b5.ret(err_tag, err)
+
+                    b4.match(rest_params_tag,
+                             [(int(InternalTag.Nil), c_rnil),
+                              (int(Tag.Cons), c_rcons)], default=bad_params)
+
+                def not_rest(b4):
+                    apply_block(b4, param_tag, param, rest_params_tag,
+                                rest_params)
+
+                b3.if_(is_not_rest_sym, not_rest, is_rest)
+
+            def p_default(b3):
+                apply_block(b3, param_tag, param, rest_params_tag,
+                            rest_params)
+
+            b2.match(param_tag, [
+                ((int(Tag.Sym), int(Tag.Builtin), int(Tag.Coroutine)),
+                 c_psym),
+            ], default=p_default)
+
+        def bad_params(b2):
+            err = b2.const(EvalErr.ParamsNotList)
+            b2.ret(err_tag, err)
+
+        bb.match(params_tag, [(int(InternalTag.Nil), c_pnil),
+                              (int(Tag.Cons), c_pcons)], default=bad_params)
+
+    b.if_(head_not_fun, not_fun, is_fun)
+    return b.build()
+
+
+def env_lookup():
+    b = FuncBuilder("env_lookup", [("x_tag_digest", 9), "env"], 2)
+    x_tag_digest = b.input("x_tag_digest")
+    env = b.input("env")
+
+    def nonzero(bb):
+        y_tag, y, val_tag, val, tail_env = bb.load(env, [1, 1, 1, 1, 1])
+        y_digest, = bb.load(y, [8])
+        y_tag_digest, = bb.split([y_tag, y_digest], [9])
+        not_eq = bb.sub(x_tag_digest, y_tag_digest)
+
+        def differ(b2):
+            rt, r = b2.call("env_lookup", x_tag_digest, tail_env,
+                            out_sizes=(1, 1))
+            b2.ret(rt, r)
+
+        def same(b2):
+            b2.ret(val_tag, val)
+
+        bb.if_(not_eq, differ, same)
+
+    def zero(bb):
+        err_tag = bb.const(Tag.Err)
+        err = bb.const(EvalErr.UnboundVar)
+        bb.ret(err_tag, err)
+
+    b.if_(env, nonzero, zero)
+    return b.build()
+
+
+def native_lurk_funcs(digests, coroutines=None):
+    """Reference: eval_direct.rs:29-74 - order is part of the protocol."""
+    return [
+        lurk_main(),
+        preallocate_symbols(digests),
+        eval_func(),
+        eval_builtin_expr(digests),
+        eval_bind_builtin(),
+        eval_env_builtin(),
+        eval_apply_builtin(),
+        eval_coroutine_expr(digests, coroutines),
+        eval_opening_unop(digests),
+        eval_hide(),
+        eval_unop(digests),
+        eval_binop_num(digests),
+        eval_binop_misc(digests),
+        eval_begin(),
+        eval_list(),
+        coerce_if_sym(),
+        open_comm(),
+        equal(digests),
+        equal_inner(),
+        car_cdr(digests),
+        eval_let(),
+        eval_letrec(),
+        extend_env_with_mutuals(),
+        eval_letrec_bindings(),
+        apply_func(digests),
+        env_lookup(),
+        ingress(digests),
+        egress(digests),
+        misc.hash3(),
+        misc.hash4(),
+        misc.hash5(),
+        misc.u64_add(),
+        misc.u64_sub(),
+        misc.u64_mul(),
+        misc.u64_divrem(),
+        misc.u64_lessthan(),
+        misc.u64_iszero(),
+        misc.digest_equal(),
+        misc.big_num_lessthan(),
+    ]
+
+
+def build_lurk_toplevel(lang=None):
+    """Returns (toplevel, zstore, lang_symbols). Reference:
+    eval_direct.rs:80-117."""
+    coroutines = lang.coroutines if lang is not None else {}
+    gadgets = lang.gadgets if lang is not None else {}
+    lang_symbols = set(coroutines.keys())
+    zstore = lurk_zstore(lang_symbols)
+    digests = SymbolsDigests(zstore, sorted(lang_symbols,
+                                            key=lambda s: s.path))
+    funcs = native_lurk_funcs(digests, coroutines)
+    names = {f.name for f in funcs}
+    for coroutine in coroutines.values():
+        fe = coroutine.func_expr
+        assert fe.name not in names, \
+            f"Name conflict with native function {fe.name}"
+        funcs.append(fe)
+        names.add(fe.name)
+    chip_map = lurk_chip_map(gadgets)
+    toplevel = Toplevel(funcs, chip_map)
+    return toplevel, zstore, lang_symbols

@@ -40,8 +40,9 @@ class BlockBuilder:
     # -- variable helpers --------------------------------------------------
 
     def _fresh(self, size: int, hint: str = "t") -> E.Var:
+        # underscore prefix: generated temporaries may legitimately go unused
         self.fb._counter += 1
-        return E.Var(f"{hint}%{self.fb._counter}", size)
+        return E.Var(f"_{hint}%{self.fb._counter}", size)
 
     def _emit(self, op):
         assert self.ctrl is None, "block already terminated"
