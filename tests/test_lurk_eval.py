@@ -1,0 +1,164 @@
+"""Lurk language correctness corpus (reference: src/core/tests/eval_direct.rs)
+plus widths parity and a full-machine lookup-consistency check."""
+
+import pytest
+
+from lurk_tpu.core.eval_direct import build_lurk_toplevel
+from lurk_tpu.core.eval_api import evaluate, evaluate_zptr
+from lurk_tpu.core.zstore import ZPtr
+from lurk_tpu.core.symbol import Symbol, user_sym, builtin_sym
+from lurk_tpu.core.tag import Tag, EvalErr
+
+
+@pytest.fixture(scope="module")
+def top():
+    tl, zstore, _ = build_lurk_toplevel()
+    return tl, zstore
+
+
+def uint(u):
+    return ZPtr.u64(u)
+
+
+def run(top, code):
+    tl, zstore = top
+    res, _q = evaluate(tl, zstore, code)
+    return res, zstore
+
+
+CASES = [
+    # self-evaluating
+    ("1", lambda z: uint(1)),
+    ("'a'", lambda z: ZPtr.char("a")),
+    ('"abc"', lambda z: z.intern_string("abc")),
+    (":hi", lambda z: z.intern_symbol(Symbol.key(["hi"]))),
+    ("1u64", lambda z: uint(1)),
+    ("1n", lambda z: ZPtr.num(1)),
+    ("t", lambda z: z.t),
+    ("nil", lambda z: z.nil),
+    # functions & applications
+    ("((lambda (x) x) 1)", lambda z: uint(1)),
+    ("((lambda (x y z) y) 1 2 3)", lambda z: uint(2)),
+    ("((lambda (x) (lambda (y) x)) 1 2)", lambda z: uint(1)),
+    ("(apply (lambda (x) x) '(1))", lambda z: uint(1)),
+    ("(apply (lambda (x y z) y) (list 1 2 3))", lambda z: uint(2)),
+    ("((lambda (x &rest y) (car (cdr y))) 1)", lambda z: z.nil),
+    ("((lambda (x &rest y) (car (cdr y))) 1 2 3)", lambda z: uint(3)),
+    ("((lambda (x &rest y) (car (cdr y))) 1 2 3 4)", lambda z: uint(3)),
+    ("(a)", lambda z: ZPtr.err(EvalErr.UnboundVar)),
+    ("((lambda () a) 2)", lambda z: ZPtr.err(EvalErr.UnboundVar)),
+    ("(apply (lambda (x) x) 1)", lambda z: ZPtr.err(EvalErr.ArgsNotList)),
+    # builtins
+    ("(if 1 1 0)", lambda z: uint(1)),
+    ("(if nil 1 0)", lambda z: uint(0)),
+    ("(if 1 1)", lambda z: uint(1)),
+    ("(if nil 1)", lambda z: z.nil),
+    ("(let ((x 0) (y 1)) x)", lambda z: uint(0)),
+    ("(+ (* 2 2) (* 2 3))", lambda z: uint(10)),
+    ("(= 3844955657946763191 18057789389824918841)", lambda z: z.nil),
+    ("(= 3844955657946763191 3844955657946763191)", lambda z: z.t),
+    ("(= 0n 1n)", lambda z: z.nil),
+    ("(= 1n 1n)", lambda z: z.t),
+    ("(>= 1 1)", lambda z: z.t),
+    ("(<= 2 1)", lambda z: z.nil),
+    ("(< 3844955657946763191 18057789389824918841)", lambda z: z.t),
+    ("(begin)", lambda z: z.nil),
+    ("(list)", lambda z: z.nil),
+    ('(list (+ 1 1) "hi")',
+     lambda z: z.intern_list([uint(2), z.intern_string("hi")])),
+    ("'(x 1 :foo)",
+     lambda z: z.intern_list([z.intern_symbol(user_sym("x")), uint(1),
+                              z.intern_symbol(Symbol.key(["foo"]))])),
+    ("(eval '(+ 1 2) (empty-env))", lambda z: uint(3)),
+    ("(eval 'x (let ((x 1)) (current-env)))", lambda z: uint(1)),
+    ("(let ((a '(+ 1 1))) (eval a))", lambda z: uint(2)),
+    ("(cons 0n 1n)", lambda z: z.intern_cons(ZPtr.num(0), ZPtr.num(1))),
+    ("(eq (cons 1 2) '(1 . 2))", lambda z: z.t),
+    ("(eq (cons 1 3) '(1 . 2))", lambda z: z.nil),
+    ("(eq 'a 'a)", lambda z: z.t),
+    ("(eq t nil)", lambda z: z.nil),
+    ('(eq "abc" "abd")', lambda z: z.nil),
+    ('(eq "abc" "abc")', lambda z: z.t),
+    ("(eq (lambda (x) x) (lambda (x) x))", lambda z: z.t),
+    ("(eq (lambda (x) x) (lambda (y) y))", lambda z: z.nil),
+    ("(eq (let ((x 1)) (current-env)) (let ((x 1)) (current-env)))",
+     lambda z: z.t),
+    ("(eqq (1 . 2) (cons 1 2))", lambda z: z.t),
+    ("(eqq (cons 1 2) (cons 1 2))", lambda z: z.nil),
+    ("(letrec ((ones (cons 1 (lambda () ones)))) (car ((cdr ones))))",
+     lambda z: uint(1)),
+    ("(type-eq 1 (+ 1 2))", lambda z: z.t),
+    ("(type-eq (+ 1 1) 'a')", lambda z: z.nil),
+    ("(type-eq nil t)", lambda z: z.t),
+    ("(type-eq 'cons 'let)", lambda z: z.t),
+    ("(type-eqq (nil) (cons 1 2))", lambda z: z.t),
+    # coercions
+    ("(char 97)", lambda z: z.intern_char("a")),
+    ("(u64 'a')", lambda z: uint(97)),
+    # environments
+    ("(env (cons 'a 1) (cons 'b 2))", lambda z: z.intern_env(
+        z.intern_symbol(user_sym("a")), z.intern_u64(1),
+        z.intern_env(z.intern_symbol(user_sym("b")), z.intern_u64(2),
+                     z.intern_empty_env()))),
+    ("(env)", lambda z: z.intern_empty_env()),
+    ("(bind 'a (- 2 1) (current-env))", lambda z: z.intern_env(
+        z.intern_symbol(user_sym("a")), uint(1), z.intern_empty_env())),
+    # heavier
+    ("(letrec ((factorial (lambda (n) (if (= n 0) 1 "
+     "(* n (factorial (- n 1))))))) (factorial 5))", lambda z: uint(120)),
+    ("(letrec ((odd? (lambda (n) (if (= n 0) nil (even? (- n 1))))) "
+     "(x (even? 3)) "
+     "(even? (lambda (n) (if (= n 0) t (odd? (- n 1)))))) "
+     "(cons x (odd? 5)))",
+     lambda z: z.intern_cons(z.nil, z.t)),
+    ("(letrec ((odd? (lambda (n) (if (= n 0) nil (even? (- n 1))))) "
+     "(x a) "
+     "(even? (lambda (n) (if (= n 0) t (odd? (- n 1)))))) (odd? 1))",
+     lambda z: ZPtr.err(EvalErr.UnboundVar)),
+    # commitment ops
+    ("(let ((c (commit 123))) (open c))", lambda z: uint(123)),
+    ("(let ((c (hide #0x1 123))) (secret c))",
+     lambda z: z.intern_big_num((1, 0, 0, 0, 0, 0, 0, 0))),
+    ("(bignum (commit 7))", None),  # just executes without error
+]
+
+
+@pytest.mark.parametrize("code,expected", CASES,
+                         ids=[c for c, _ in CASES])
+def test_eval_case(top, code, expected):
+    res, zstore = run(top, code)
+    if expected is None:
+        assert res.tag != Tag.Err
+        return
+    want = expected(zstore)
+    assert res == want, f"{code}: got {zstore.fmt(res)}"
+
+
+def test_lambda_returns_fun(top):
+    res, zstore = run(top, "(lambda (x) x)")
+    x = zstore.intern_symbol(user_sym("x"))
+    list_x = zstore.intern_list([x])
+    env = zstore.intern_empty_env()
+    assert res == zstore.intern_fun(list_x, list_x, env)
+
+
+def test_manual_env(top):
+    tl, zstore = top
+    a = zstore.intern_symbol(user_sym("a"))
+    env = zstore.intern_env(a, uint(1), zstore.intern_empty_env())
+    expr = zstore.read("a")
+    res, _ = evaluate_zptr(tl, zstore, expr, env_digest=env.digest)
+    assert res == uint(1)
+
+
+def test_full_machine_lookup_consistency(top):
+    """Run the proof-free debugger over all 47 chips for one evaluation."""
+    from lurk_tpu.lair.trace import FuncChip
+    from lurk_tpu.lair.chips import build_lair_chip_vector, debug_chips
+
+    tl, zstore = top
+    res, q = evaluate(tl, zstore, "(let ((square (lambda (x) (* x x)))) "
+                                  "(+ (square 4) (/ 10 2)))")
+    assert res == uint(21)
+    chips = build_lair_chip_vector(FuncChip.from_name("lurk_main", tl))
+    debug_chips(q, chips)
