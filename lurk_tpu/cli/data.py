@@ -1,0 +1,225 @@
+"""Persistable Lurk data: ZDag slices, commitment data, proof objects, paths.
+
+Reference: src/core/cli/{zdag,comm_data,proofs,paths,config}.rs. The wire
+format here is python pickle wrapped with a magic/version header (the
+reference uses bincode; the format itself is implementation-defined).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+from ..core.zstore import ZPtr, ZStore, ATOM, TUPLE11, TUPLE110, DIGEST_SIZE
+from .. import __version__
+
+MAGIC = b"LURKTPU1"
+
+
+def dump_data(obj, path):
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        pickle.dump(obj, f)
+
+
+def load_data(path):
+    with open(path, "rb") as f:
+        assert f.read(len(MAGIC)) == MAGIC, "bad file magic"
+        return pickle.load(f)
+
+
+# ---------------------------------------------------------------------------
+# paths (reference: src/core/cli/paths.rs:19-41, config.rs)
+# ---------------------------------------------------------------------------
+
+def lurk_dir() -> Path:
+    base = os.environ.get("LURK_DIR")
+    if base:
+        return Path(base)
+    return Path.home() / ".lurk-tpu"
+
+
+def proofs_dir() -> Path:
+    return lurk_dir() / "proofs"
+
+
+def commits_dir() -> Path:
+    return lurk_dir() / "commits"
+
+
+def microchains_dir() -> Path:
+    return lurk_dir() / "microchains"
+
+
+def repl_history_path() -> Path:
+    return lurk_dir() / "repl-history"
+
+
+# ---------------------------------------------------------------------------
+# ZDag (reference: src/core/cli/zdag.rs)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ZDag:
+    entries: Dict[ZPtr, tuple] = field(default_factory=dict)
+
+    def populate_with(self, zptr: ZPtr, zstore: ZStore, cache=None):
+        if cache is None:
+            cache = set()
+        if zptr in cache:
+            return
+        entry = zstore.dag.get(zptr)
+        assert entry is not None, "Data missing from ZStore's DAG"
+        if entry[0] != ATOM:
+            for child in entry[1:]:
+                self.populate_with(child, zstore, cache)
+        cache.add(zptr)
+        self.entries[zptr] = entry
+
+    def populate_with_many(self, zptrs, zstore: ZStore):
+        cache = set()
+        for z in zptrs:
+            self.populate_with(z, zstore, cache)
+
+    def populate_zstore(self, zstore: ZStore):
+        """Move this DAG slice into a target ZStore."""
+        for zptr, entry in self.entries.items():
+            zstore.dag[zptr] = entry
+
+    def is_flawed(self, zstore: ZStore) -> bool:
+        """Check hash consistency of every compound node (used by the
+        microchain server to reject malformed DAGs)."""
+        from ..core.zstore import flatten_tuple11, flatten_tuple110
+        for zptr, entry in self.entries.items():
+            if entry[0] == TUPLE11:
+                digest = zstore.hash4(flatten_tuple11(entry[1], entry[2]))
+            elif entry[0] == TUPLE110:
+                digest = zstore.hash5(
+                    flatten_tuple110(entry[1], entry[2], entry[3]))
+            else:
+                continue
+            if digest != zptr.digest:
+                return True
+        return False
+
+
+@dataclass
+class LurkData:
+    """A ZPtr plus the DAG needed to interpret it (reference:
+    src/core/cli/lurk_data.rs)."""
+    zptr: ZPtr
+    zdag: ZDag
+
+    @staticmethod
+    def new(zptr: ZPtr, zstore: ZStore) -> "LurkData":
+        zdag = ZDag()
+        zdag.populate_with(zptr, zstore)
+        return LurkData(zptr, zdag)
+
+    def interned(self, zstore: ZStore) -> ZPtr:
+        self.zdag.populate_zstore(zstore)
+        return self.zptr
+
+    def is_flawed(self, zstore: ZStore) -> bool:
+        return self.zdag.is_flawed(zstore)
+
+
+# ---------------------------------------------------------------------------
+# CommData (reference: src/core/cli/comm_data.rs)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CommData:
+    secret: Tuple[int, ...]
+    payload: ZPtr
+    zdag: ZDag
+
+    @staticmethod
+    def hash(secret, payload: ZPtr, zstore: ZStore):
+        preimg = tuple(secret) + payload.flatten()
+        return zstore.hash3(preimg)
+
+    @staticmethod
+    def new(secret, payload: ZPtr, zstore: ZStore) -> "CommData":
+        zdag = ZDag()
+        zdag.populate_with(payload, zstore)
+        return CommData(tuple(secret), payload, zdag)
+
+    def commit(self, zstore: ZStore) -> ZPtr:
+        digest = CommData.hash(self.secret, self.payload, zstore)
+        return ZPtr.comm(digest)
+
+    def populate_zstore(self, zstore: ZStore):
+        self.zdag.populate_zstore(zstore)
+
+
+# ---------------------------------------------------------------------------
+# Proof objects (reference: src/core/cli/proofs.rs)
+# ---------------------------------------------------------------------------
+
+def get_verifier_version() -> str:
+    return __version__
+
+
+@dataclass
+class CryptoProof:
+    machine_proof: object            # stark.machine.MachineProof
+    verifier_version: str
+    depth: int
+
+    @staticmethod
+    def from_machine_proof(proof) -> "CryptoProof":
+        pv = proof.public_values
+        depth_bytes = pv[-4:]
+        assert all(0 <= b < 256 for b in depth_bytes)
+        depth = sum(b << (8 * i) for i, b in enumerate(depth_bytes))
+        return CryptoProof(proof, get_verifier_version(), depth)
+
+    def into_machine_proof(self, expr: ZPtr, env: ZPtr, result: ZPtr):
+        """Rebuild the public values from the claim (reference:
+        proofs.rs:44-77) so the verifier checks the *intended* statement."""
+        pv = list(expr.flatten()) + list(env.digest) + list(result.flatten())
+        pv += [(self.depth >> (8 * i)) & 0xFF for i in range(4)]
+        self.machine_proof.public_values = pv
+        return self.machine_proof
+
+    def has_same_verifier_version(self) -> bool:
+        return self.verifier_version == get_verifier_version()
+
+
+@dataclass
+class CachedProof:
+    crypto_proof: CryptoProof
+    zdag: ZDag
+    expr: ZPtr
+    env: ZPtr
+    result: ZPtr
+
+    @staticmethod
+    def new(crypto_proof: CryptoProof, public_values, zstore: ZStore
+            ) -> "CachedProof":
+        expr = ZPtr.from_flat_data(public_values[:16])
+        env = ZPtr(12, tuple(public_values[16:24]))  # Tag.Env
+        result = ZPtr.from_flat_data(public_values[24:40])
+        zdag = ZDag()
+        zdag.populate_with_many([expr, env, result], zstore)
+        return CachedProof(crypto_proof, zdag, expr, env, result)
+
+    def into_machine_proof(self):
+        return self.crypto_proof.into_machine_proof(self.expr, self.env,
+                                                    self.result)
+
+
+@dataclass
+class ProtocolProof:
+    crypto_proof: CryptoProof
+    args: LurkData
+
+    @staticmethod
+    def new(crypto_proof: CryptoProof, args: ZPtr, zstore: ZStore):
+        return ProtocolProof(crypto_proof, LurkData.new(args, zstore))

@@ -1,0 +1,250 @@
+"""The Lurk REPL (reference: src/core/cli/repl.rs).
+
+Holds {zstore, queries, toplevel, env, state, lang_symbols}; reduction runs
+`lurk_main` through the Lair interpreter and prints `[N iterations] => result`
+where N is the number of memoized `eval` queries. `prove_last_reduction`
+produces a STARK proof, caches it under the hash3-derived key, and verifies
+before reuse.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+from typing import Optional
+
+from ..core.eval_direct import build_lurk_toplevel
+from ..core.parser import parse, SynMeta
+from ..core.state import State
+from ..core.stark_machine import new_machine, PRODUCTION_CONFIG
+from ..core.tag import Tag
+from ..core.zstore import ZPtr, ZStore, DIGEST_SIZE
+from ..lair.execute import QueryRecord, execute_by_name, EvalBail, LoopDetected
+from ..stark.challenger import Challenger
+from ..stark.fri import FriConfig
+from . import data as cli_data
+from .data import (CachedProof, CryptoProof, dump_data, load_data,
+                   proofs_dir)
+
+
+class ReplError(Exception):
+    pass
+
+
+class Repl:
+    def __init__(self, lang=None, config: Optional[FriConfig] = None):
+        self.toplevel, self.zstore, self.lang_symbols = build_lurk_toplevel(lang)
+        self.queries = QueryRecord(self.toplevel)
+        self.env = self.zstore.intern_empty_env()
+        self.state = State.init_lurk_state()
+        self.config = config or PRODUCTION_CONFIG
+        self._machine = None
+        self._machine_keys = None
+        from .meta import build_meta_cmds
+        self.meta_cmds = build_meta_cmds()
+
+    # -- infrastructure ----------------------------------------------------
+
+    def fmt(self, zptr: ZPtr) -> str:
+        return self.zstore.fmt_with_state(self.state, zptr)
+
+    def machine(self):
+        if self._machine is None:
+            self._machine = new_machine(self.toplevel, self.config)
+        return self._machine
+
+    def machine_keys(self):
+        if self._machine_keys is None:
+            self._machine_keys = self.machine().setup()
+        return self._machine_keys
+
+    def bind(self, sym: ZPtr, val: ZPtr):
+        self.env = self.zstore.intern_env(sym, val, self.env)
+
+    def memoize_dag(self, zptr: ZPtr):
+        hash4_idx = self.toplevel.func_index["hash4"]
+        hash5_idx = self.toplevel.func_index["hash5"]
+        self.zstore.memoize_dag(zptr.tag, zptr.digest,
+                                self.queries.inv_func_queries[hash4_idx],
+                                self.queries.inv_func_queries[hash5_idx])
+
+    def memoize_env_dag(self):
+        self.memoize_dag(self.env)
+
+    def prepare_queries(self):
+        self.queries.clean()
+        self.queries.inject_inv_queries("hash3", self.zstore.hashes3_diff.items())
+        self.queries.inject_inv_queries("hash4", self.zstore.hashes4_diff.items())
+        self.queries.inject_inv_queries("hash5", self.zstore.hashes5_diff.items())
+        self.zstore.hashes3_diff.clear()
+        self.zstore.hashes4_diff.clear()
+        self.zstore.hashes5_diff.clear()
+
+    # -- reduction ---------------------------------------------------------
+
+    def reduce_with_env(self, expr: ZPtr, env: ZPtr) -> ZPtr:
+        self.prepare_queries()
+        args = ((expr.tag,) + (0,) * 7 + tuple(expr.digest)
+                + tuple(env.digest))
+        dbg = self.toplevel.func_index["eval"]
+        out = execute_by_name(self.toplevel, "lurk_main", list(args),
+                              self.queries, dbg_func_idx=dbg)
+        return ZPtr(int(out[0]), tuple(int(x) for x in out[8:16]))
+
+    def reduce_aux_with_env(self, expr: ZPtr, env: ZPtr):
+        result = self.reduce_with_env(expr, env)
+        self.memoize_dag(result)
+        return result, self.num_iterations()
+
+    def reduce_aux(self, expr: ZPtr):
+        return self.reduce_aux_with_env(expr, self.env)
+
+    def manual_egression(self, tag: int, ptr: int) -> ZPtr:
+        """Egress a VM-internal (tag, ptr) pair into a ZPtr using a scratch
+        copy of the query record (reference: src/core/cli/repl.rs:432-458)."""
+        import copy
+        queries_tmp = copy.deepcopy(self.queries)
+        out = execute_by_name(self.toplevel, "egress", [tag, ptr], queries_tmp)
+        zptr = ZPtr(int(out[0]), tuple(int(x) for x in out[1:9]))
+        hash4_idx = self.toplevel.func_index["hash4"]
+        hash5_idx = self.toplevel.func_index["hash5"]
+        self.zstore.memoize_dag(zptr.tag, zptr.digest,
+                                queries_tmp.inv_func_queries[hash4_idx],
+                                queries_tmp.inv_func_queries[hash5_idx])
+        return zptr
+
+    def num_iterations(self) -> int:
+        return len(self.queries.func_queries[self.toplevel.func_index["eval"]])
+
+    def handle_non_meta_with_env(self, expr: ZPtr, env: ZPtr) -> ZPtr:
+        result = self.reduce_with_env(expr, env)
+        self.memoize_dag(result)
+        n = self.num_iterations()
+        suffix = "" if n == 1 else "s"
+        print(f"[{n} iteration{suffix}] => {self.fmt(result)}")
+        return result
+
+    def handle_non_meta(self, expr: ZPtr) -> ZPtr:
+        return self.handle_non_meta_with_env(expr, self.env)
+
+    # -- proving -----------------------------------------------------------
+
+    def proof_key(self) -> str:
+        pv = self.queries.expect_public_values()
+        digest = self.zstore.hash3(tuple(pv[:24]))
+        return "".join(f"{x:08x}" for x in digest)
+
+    def prove_last_reduction(self) -> str:
+        pv = self.queries.public_values
+        if pv is None:
+            raise ReplError("No reduction to prove")
+        proof_key = self.proof_key()
+        proof_path = proofs_dir() / proof_key
+        machine = self.machine()
+        pk, vk = self.machine_keys()
+        must_prove = True
+        if proof_path.exists():
+            try:
+                cached = load_data(proof_path)
+                mp = cached.into_machine_proof()
+                if machine.verify(vk, mp, Challenger()):
+                    must_prove = False
+            except Exception:
+                pass  # overwrite corrupted proofs
+        if must_prove:
+            proof = machine.prove(pk, self.queries, Challenger())
+            assert machine.verify(vk, proof, Challenger()), \
+                "internal verification failed"
+            crypto_proof = CryptoProof.from_machine_proof(proof)
+            cached = CachedProof.new(crypto_proof, pv, self.zstore)
+            dump_data(cached, proof_path)
+        print(f'Proof key: "{proof_key}"')
+        return proof_key
+
+    # -- input processing --------------------------------------------------
+
+    def process(self, code: str, path: Path = Path(".")) -> Optional[ZPtr]:
+        syn, rest = parse(code, self.state)
+        if syn is None:
+            return None
+        result = self._process_syntax(syn, path)
+        if rest.strip():
+            self._pending = rest
+        else:
+            self._pending = ""
+        return result
+
+    def _process_syntax(self, syn, path: Path):
+        if isinstance(syn, SynMeta):
+            name = syn.sym.name()
+            cmd = self.meta_cmds.get(name)
+            if cmd is None:
+                raise ReplError(f"Unknown meta command: {name}")
+            args = self.zstore.intern_list(
+                [self.zstore.intern_syntax(a) for a in syn.args])
+            return cmd.run(self, args, path)
+        expr = self.zstore.intern_syntax(syn)
+        return self.handle_non_meta(expr)
+
+    def load_file(self, path, demo: bool = False):
+        path = Path(path)
+        code = path.read_text()
+        print(f"Loading {path}")
+        state = self.state
+        while True:
+            syn, code = parse(code, state)
+            if syn is None:
+                break
+            if demo:
+                print(f"> (demo)")
+            self._process_syntax(syn, path.parent)
+
+    def run(self):
+        """Interactive loop."""
+        print("Lurk TPU REPL - :q or Ctrl-D to exit")
+        buffer = ""
+        while True:
+            try:
+                prompt = "> " if not buffer else "  "
+                line = input(prompt)
+            except EOFError:
+                print()
+                break
+            if line.strip() in (":q", ":quit"):
+                break
+            buffer += line + "\n"
+            if not _balanced(buffer):
+                continue
+            try:
+                while buffer.strip():
+                    syn, buffer = parse(buffer, self.state)
+                    if syn is None:
+                        break
+                    result = self._process_syntax(syn, Path("."))
+                    if result is not None and not isinstance(result, ZPtr):
+                        pass
+            except (ReplError, EvalBail, LoopDetected, AssertionError,
+                    ValueError, KeyError) as e:
+                print(f"Error: {e}")
+            buffer = ""
+
+
+def _balanced(code: str) -> bool:
+    depth = 0
+    in_str = False
+    prev = ""
+    for c in code:
+        if in_str:
+            if c == '"' and prev != "\\":
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == ";":
+            pass
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        prev = c
+    return depth <= 0 and not in_str

@@ -71,22 +71,53 @@ class CommittedRound:
 
 def commit(matrices: Sequence[np.ndarray]) -> CommittedRound:
     mats = [np.asarray(m, U) for m in matrices]
-    ldes = [np.asarray(ntt_lde(m.astype(np.uint32), LOG_BLOWUP), U)
-            for m in mats]
-    lhs = [l.shape[0].bit_length() - 1 for l in ldes]
+    trace_lhs = [m.shape[0].bit_length() - 1 for m in mats]
+    # LDE matrices of equal height as one concatenated batch: one NTT shape
+    # (and one XLA compile) per height class instead of one per matrix
+    ldes: List[Optional[np.ndarray]] = [None] * len(mats)
     trees = []
-    for log_H, idxs in _group_by_height(lhs):
+    for log_h, idxs in _group_by_height(trace_lhs):
+        group = np.concatenate([mats[i] for i in idxs], axis=1) \
+            if len(idxs) > 1 else mats[idxs[0]]
+        group_lde = np.asarray(ntt_lde(group.astype(np.uint32), LOG_BLOWUP), U)
+        off = 0
+        for i in idxs:
+            w = mats[i].shape[1]
+            ldes[i] = group_lde[:, off:off + w]
+            off += w
         tree = merkle.commit([ldes[i] for i in idxs])
-        trees.append((log_H, tree))
+        trees.append((log_h + LOG_BLOWUP, tree))
     return CommittedRound(mats, ldes, trees)
+
+
+def batch_coeffs(mats: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """intt per height class (concatenated) -> per-matrix coefficients."""
+    mats = [np.asarray(m, U) for m in mats]
+    lhs = [m.shape[0].bit_length() - 1 for m in mats]
+    out: List[Optional[np.ndarray]] = [None] * len(mats)
+    for _log_h, idxs in _group_by_height(lhs):
+        group = np.concatenate([mats[i] for i in idxs], axis=1) \
+            if len(idxs) > 1 else mats[idxs[0]]
+        coeffs = np.asarray(intt(group.astype(np.uint32)), U)
+        off = 0
+        for i in idxs:
+            w = mats[i].shape[1]
+            out[i] = coeffs[:, off:off + w]
+            off += w
+    return out
+
+
+def eval_coeffs_at(coeffs: np.ndarray, z) -> List[tuple]:
+    """f_j(z) for every coefficient column j: <coeffs, z^i>."""
+    zp = ext_powers(z, coeffs.shape[0])                       # (h, 4)
+    out = matmul_mod(coeffs.T, zp)                            # (w, 4)
+    return [tuple(int(x) for x in row) for row in out]
 
 
 def eval_at_ext_point(mat_on_h: np.ndarray, z) -> List[tuple]:
     """f_j(z) for every column j: coeffs via intt, then <coeffs, z^i>."""
-    coeffs = np.asarray(intt(mat_on_h.astype(np.uint32)), U)  # (h, w)
-    zp = ext_powers(z, coeffs.shape[0])                       # (h, 4)
-    out = matmul_mod(coeffs.T, zp)                            # (w, 4)
-    return [tuple(int(x) for x in row) for row in out]
+    return eval_coeffs_at(np.asarray(intt(
+        np.asarray(mat_on_h).astype(np.uint32)), U), z)
 
 
 def ext_powers(z, n: int) -> np.ndarray:
@@ -123,10 +154,11 @@ def open_rounds(rounds: List[CommittedRound],
     opened = []
     for rnd, rnd_points in zip(rounds, points):
         rv = []
-        for mat, pts in zip(rnd.matrices, rnd_points):
+        all_coeffs = batch_coeffs(rnd.matrices)
+        for coeffs, pts in zip(all_coeffs, rnd_points):
             mv = []
             for z in pts:
-                ys = eval_at_ext_point(mat, z)
+                ys = eval_coeffs_at(coeffs, z)
                 mv.append(ys)
                 for y in ys:
                     challenger.observe_many(y)
@@ -137,6 +169,7 @@ def open_rounds(rounds: List[CommittedRound],
 
     # reduced codewords per log-size
     ro: Dict[int, np.ndarray] = {}
+    inv_xz_cache: Dict[tuple, np.ndarray] = {}  # (log_h, z) -> 1/(x - z)
     alpha_cnt = 0
     for rnd, rnd_points, rnd_opened in zip(rounds, points, opened):
         for lde_mat, pts, mat_opened in zip(rnd.ldes, rnd_points, rnd_opened):
@@ -152,8 +185,12 @@ def open_rounds(rounds: List[CommittedRound],
                     y_alpha = ext_s.eadd_s(
                         y_alpha, ext_s.emul_s(y, tuple(int(v) for v in ap)))
                 num = E.esub(fx, E.from_scalar(y_alpha, (H,)))
-                xz = E.esub(E.from_base(xs), E.from_scalar(z, (H,)))
-                contrib = E.emul(num, E.einv(xz))
+                inv_xz = inv_xz_cache.get((log_h, z))
+                if inv_xz is None:
+                    xz = E.esub(E.from_base(xs), E.from_scalar(z, (H,)))
+                    inv_xz = E.einv(xz)
+                    inv_xz_cache[(log_h, z)] = inv_xz
+                contrib = E.emul(num, inv_xz)
                 if log_h in ro:
                     ro[log_h] = E.eadd(ro[log_h], contrib)
                 else:
