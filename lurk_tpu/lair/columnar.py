@@ -1,0 +1,62 @@
+"""Columnar query storage: numpy-backed function query maps.
+
+The native interpreter returns per-function records as flat arrays; keeping
+them columnar (instead of exploding into python objects) makes both decoding
+and witness generation O(rows) numpy work. FuncChip.generate_trace has a
+fast path over this representation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class ColumnarQueryMap:
+    """Drop-in (read-mostly) replacement for the per-func IndexMap."""
+    input_size: int
+    output_size: int
+    args: np.ndarray        # (n, input_size) uint32
+    outputs: np.ndarray     # (n, output_size)
+    provide: np.ndarray     # (n, 2) nonce,count
+    req_offs: np.ndarray    # (n+1,) element offsets into req_flat
+    req_flat: np.ndarray    # flattened (nonce,count) pairs
+    depth: np.ndarray       # (n,)
+    dreq_offs: np.ndarray
+    dreq_flat: np.ndarray
+    path: np.ndarray        # (n,) return selector idents
+    hint_offs: np.ndarray
+    hint_flat: np.ndarray
+
+    def __len__(self):
+        return self.args.shape[0]
+
+    # -- IndexMap-compatible access (slow paths; used rarely) -------------
+
+    def get_index(self, i):
+        from .execute import QueryResult, Record
+        qr = QueryResult()
+        qr.output = tuple(int(x) for x in self.outputs[i])
+        qr.provide = Record(int(self.provide[i, 0]), int(self.provide[i, 1]))
+        r0, r1 = int(self.req_offs[i]), int(self.req_offs[i + 1])
+        qr.requires = [(int(self.req_flat[j]), int(self.req_flat[j + 1]))
+                       for j in range(r0, r1, 2)]
+        qr.depth = int(self.depth[i])
+        d0, d1 = int(self.dreq_offs[i]), int(self.dreq_offs[i + 1])
+        qr.depth_requires = [
+            (int(self.dreq_flat[j]), int(self.dreq_flat[j + 1]))
+            for j in range(d0, d1, 2)]
+        qr.path = int(self.path[i])
+        h0, h1 = int(self.hint_offs[i]), int(self.hint_offs[i + 1])
+        qr.hints = [int(x) for x in self.hint_flat[h0:h1]]
+        return tuple(int(x) for x in self.args[i]), qr
+
+    @property
+    def keys(self):
+        return [tuple(int(x) for x in row) for row in self.args]
+
+    @property
+    def values(self):
+        return [self.get_index(i)[1] for i in range(len(self))]

@@ -1,0 +1,214 @@
+"""ctypes bindings for the native (C++) Lair interpreter.
+
+`native_execute` runs a function through cpp/liblair.so and decodes the
+resulting record into the same QueryRecord structure the python interpreter
+produces - trace generation and proving are oblivious to which interpreter
+ran. Falls back with a clear error if the library isn't built
+(cpp/build.sh).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from functools import lru_cache
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..poseidon.constants import get_config
+from . import native_codec
+from .columnar import ColumnarQueryMap
+from .execute import (IndexMap, QueryRecord, QueryResult, Record,
+                      NUM_MEM_TABLES, MEM_TABLE_SIZES)
+
+_LIB_PATH = Path(__file__).resolve().parents[2] / "cpp" / "liblair.so"
+
+
+@lru_cache(maxsize=1)
+def _lib():
+    if not _LIB_PATH.exists():
+        raise RuntimeError(
+            f"native interpreter not built: run cpp/build.sh ({_LIB_PATH})")
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.lair_toplevel_new.restype = ctypes.c_void_p
+    lib.lair_toplevel_new.argtypes = [u32p, ctypes.c_uint64, u32p,
+                                      ctypes.c_uint64]
+    lib.lair_toplevel_free.argtypes = [ctypes.c_void_p]
+    lib.lair_execute.restype = ctypes.c_void_p
+    lib.lair_execute.argtypes = [ctypes.c_void_p, ctypes.c_uint32, u32p,
+                                 ctypes.c_uint64, u32p, ctypes.c_uint64,
+                                 ctypes.POINTER(ctypes.c_int)]
+    lib.lair_record_size.restype = ctypes.c_uint64
+    lib.lair_record_size.argtypes = [ctypes.c_void_p]
+    lib.lair_record_copy.argtypes = [ctypes.c_void_p, u32p]
+    lib.lair_error.restype = ctypes.c_char_p
+    lib.lair_error.argtypes = [ctypes.c_void_p]
+    lib.lair_record_free.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def _poseidon_consts() -> np.ndarray:
+    out = []
+    for width in (24, 32, 40):
+        cfg = get_config(width)
+        out.extend((width, cfg.r_f, cfg.r_p))
+        for row in cfg.full_rc_list:
+            out.extend(row)
+        out.extend(cfg.part_rc_list)
+        out.extend(cfg.diag_list)
+    return np.array(out, dtype=np.uint32)
+
+
+class NativeToplevel:
+    """Owns the C++ toplevel handle for a compiled Lair toplevel."""
+
+    def __init__(self, toplevel):
+        self.toplevel = toplevel
+        code = native_codec.encode_toplevel(toplevel)
+        pconsts = _poseidon_consts()
+        lib = _lib()
+        self._handle = lib.lair_toplevel_new(
+            code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(code),
+            pconsts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(pconsts))
+
+    def __del__(self):
+        try:
+            _lib().lair_toplevel_free(self._handle)
+        except Exception:
+            pass
+
+    def execute(self, func_idx: int, args, queries: QueryRecord):
+        """Run natively; decode results into `queries`. Returns output tuple.
+
+        Inverse-query injections present in `queries` (from
+        inject_inv_queries) are passed through to the native side.
+        """
+        lib = _lib()
+        inv_stream = _encode_inv_injections(self.toplevel, queries)
+        args_arr = np.asarray(list(args), dtype=np.uint32)
+        status = ctypes.c_int(0)
+        rec = lib.lair_execute(
+            self._handle, func_idx,
+            args_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(args_arr),
+            inv_stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(inv_stream), ctypes.byref(status))
+        try:
+            if status.value != 0:
+                err = lib.lair_error(rec).decode()
+                raise RuntimeError(f"native execution failed: {err}")
+            size = lib.lair_record_size(rec)
+            buf = np.empty(size, dtype=np.uint32)
+            lib.lair_record_copy(
+                rec, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        finally:
+            lib.lair_record_free(rec)
+        _decode_record(self.toplevel, buf, queries)
+        pv = queries.expect_public_values()
+        func = self.toplevel.func_by_index(func_idx)
+        out_start = func.input_size
+        out_end = out_start + func.output_size
+        return tuple(int(x) for x in pv[out_start:out_end])
+
+
+def _encode_inv_injections(toplevel, queries: QueryRecord) -> np.ndarray:
+    blocks = []
+    n_blocks = 0
+    for fi, inv in enumerate(queries.inv_func_queries):
+        if not inv:
+            continue
+        func = toplevel.func_by_index(fi)
+        entries = list(inv.items())
+        blocks.append([fi, len(entries), func.output_size, func.input_size])
+        for out, inp in entries:
+            blocks.append(list(out))
+            blocks.append(list(inp))
+        n_blocks += 1
+    flat = [n_blocks]
+    for b in blocks:
+        flat.extend(b)
+    return np.array(flat, dtype=np.uint32)
+
+
+class _Cursor:
+    def __init__(self, buf):
+        self.buf = buf
+        self.i = 0
+
+    def take(self, n):
+        out = self.buf[self.i:self.i + n]
+        self.i += n
+        return out
+
+    def next(self):
+        v = int(self.buf[self.i])
+        self.i += 1
+        return v
+
+
+def _decode_record(toplevel, buf: np.ndarray, queries: QueryRecord):
+    c = _Cursor(buf)
+    n_funcs = c.next()
+    assert n_funcs == toplevel.num_funcs()
+    for fi in range(n_funcs):
+        func = toplevel.func_by_index(fi)
+        inv_map = queries.inv_func_queries[fi]
+        n = c.next()
+        args = c.take(n * func.input_size).reshape(n, func.input_size).copy()
+        outs = c.take(n * func.output_size).reshape(n, func.output_size).copy()
+        provide = c.take(n * 2).reshape(n, 2).copy()
+        req_offs = c.take(n + 1).copy()
+        req_flat = (c.take(int(req_offs[-1])) if n else c.take(0)).copy()
+        depth = c.take(n).copy()
+        dreq_offs = c.take(n + 1).copy()
+        dreq_flat = (c.take(int(dreq_offs[-1])) if n else c.take(0)).copy()
+        path = c.take(n).copy()
+        hint_offs = c.take(n + 1).copy()
+        hint_flat = (c.take(int(hint_offs[-1])) if n else c.take(0)).copy()
+        queries.func_queries[fi] = ColumnarQueryMap(
+            func.input_size, func.output_size, args, outs, provide,
+            req_offs, req_flat, depth, dreq_offs, dreq_flat, path,
+            hint_offs, hint_flat)
+        if inv_map is not None:
+            for i in range(n):
+                inv_map[tuple(int(x) for x in outs[i])] = \
+                    tuple(int(x) for x in args[i])
+    for m in range(NUM_MEM_TABLES):
+        width = MEM_TABLE_SIZES[m]
+        mm = queries.mem_queries[m]
+        n = c.next()
+        vals = c.take(n * width).reshape(n, width)
+        provide = c.take(n * 2).reshape(n, 2)
+        for i in range(n):
+            qr = QueryResult()
+            qr.provide = Record(int(provide[i, 0]), int(provide[i, 1]))
+            mm.insert_full(tuple(int(x) for x in vals[i]), qr)
+    n_bytes = c.next()
+    for _ in range(n_bytes):
+        inp = c.next()
+        recs = queries.bytes.get_mut(inp)
+        for s in range(6):
+            recs[s].nonce = c.next()
+            recs[s].count = c.next()
+    n_emitted = c.next()
+    offs = c.take(n_emitted + 1)
+    flat = c.take(int(offs[-1])) if n_emitted else c.take(0)
+    for i in range(n_emitted):
+        queries.emitted.append(tuple(
+            int(x) for x in flat[int(offs[i]):int(offs[i + 1])]))
+    n_pv = c.next()
+    queries.public_values = [int(x) for x in c.take(n_pv)]
+    assert c.i == len(buf)
+
+
+def native_available() -> bool:
+    return _LIB_PATH.exists()
+
+
+def build_native():
+    import subprocess
+    subprocess.run([str(_LIB_PATH.parent / "build.sh")], check=True)

@@ -114,29 +114,59 @@ class FuncChip:
         aux_off = out_off + layout.output
         sel_off = aux_off + layout.aux
 
+        from .columnar import ColumnarQueryMap
+        columnar = isinstance(func_queries, ColumnarQueryMap)
+
         # group rows by path
-        groups: Dict[int, List[int]] = {}
-        for i in range(n):
-            q = rng.start + i
-            result = func_queries.values[q]
-            groups.setdefault(result.path, []).append(i)
+        if columnar:
+            paths_arr = func_queries.path[rng.start:rng.stop]
+            groups = {int(p): np.nonzero(paths_arr == p)[0]
+                      for p in np.unique(paths_arr)}
+        else:
+            groups: Dict[int, List[int]] = {}
+            for i in range(n):
+                q = rng.start + i
+                result = func_queries.values[q]
+                groups.setdefault(result.path, []).append(i)
+
+        def _gather_var(offs, flat, qidx, pair: bool):
+            """Gather variable-length per-row segments (equal-length within
+            a path group) into a (m, k[, 2]) array."""
+            starts = offs[qidx].astype(np.int64)
+            k = int(offs[qidx[0] + 1] - offs[qidx[0]]) if len(qidx) else 0
+            idx = starts[:, None] + np.arange(k, dtype=np.int64)[None, :]
+            out = flat[idx] if k else np.zeros((len(qidx), 0), U)
+            if pair:
+                return out.reshape(len(qidx), k // 2, 2)
+            return out
 
         for path_ident, idxs in groups.items():
             prog = self.paths[path_ident]
-            ridx = np.array(idxs, np.int64)
+            ridx = np.asarray(idxs, np.int64)
             qidx = ridx + rng.start
-            m = len(idxs)
+            m = len(ridx)
 
-            args = np.array([func_queries.keys[q] for q in qidx], U).reshape(m, -1)
-            results = [func_queries.values[q] for q in qidx]
-            outputs = np.array([r.output for r in results], U).reshape(m, -1)
-            provides = np.array([(r.provide.nonce, r.provide.count)
-                                 for r in results], U).reshape(m, 2)
-            requires = np.array([r.requires for r in results], U).reshape(m, -1, 2)
-            hints = np.array([r.hints for r in results], U).reshape(m, -1)
-            depths = np.array([r.depth for r in results], U)
-            depth_requires = np.array([r.depth_requires for r in results],
-                                      U).reshape(m, -1, 2)
+            if columnar:
+                fq = func_queries
+                args = fq.args[qidx].astype(U)
+                outputs = fq.outputs[qidx].astype(U)
+                provides = fq.provide[qidx].astype(U)
+                requires = _gather_var(fq.req_offs, fq.req_flat, qidx, True).astype(U)
+                hints = _gather_var(fq.hint_offs, fq.hint_flat, qidx, False).astype(U)
+                depths = fq.depth[qidx].astype(U)
+                depth_requires = _gather_var(fq.dreq_offs, fq.dreq_flat,
+                                             qidx, True).astype(U)
+            else:
+                args = np.array([func_queries.keys[q] for q in qidx], U).reshape(m, -1)
+                results = [func_queries.values[q] for q in qidx]
+                outputs = np.array([r.output for r in results], U).reshape(m, -1)
+                provides = np.array([(r.provide.nonce, r.provide.count)
+                                     for r in results], U).reshape(m, 2)
+                requires = np.array([r.requires for r in results], U).reshape(m, -1, 2)
+                hints = np.array([r.hints for r in results], U).reshape(m, -1)
+                depths = np.array([r.depth for r in results], U)
+                depth_requires = np.array([r.depth_requires for r in results],
+                                          U).reshape(m, -1, 2)
 
             rows[ridx, in_off:in_off + layout.input] = args
             rows[ridx, out_off:out_off + layout.output] = outputs
