@@ -81,6 +81,26 @@ def _ntt_kernel(mat, perm, twiddles, log_n: int):
     return x
 
 
+# below this many rows, host numpy beats device dispatch + per-shape compile
+_NP_THRESHOLD = 1 << 13
+
+
+def _ntt_np(mat: np.ndarray, inverse: bool, log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    x = mat.astype(np.uint64)[_bitrev_perm(log_n)]
+    pp = np.uint64(bb.P)
+    for s in range(log_n):
+        m = 1 << s
+        tw = _stage_twiddles(log_n, inverse)[s]
+        tw_canon = bb.np_from_mont(tw).astype(np.uint64)
+        blocks = x.reshape(n // (2 * m), 2, m, -1)
+        a = blocks[:, 0]
+        b_ = blocks[:, 1]
+        tb = (b_ * tw_canon[None, :, None]) % pp
+        x = np.stack([(a + tb) % pp, (a + pp - tb) % pp], axis=1).reshape(n, -1)
+    return x.astype(np.uint32)
+
+
 def ntt(mat, inverse: bool = False):
     """Column-batched NTT of a (n, w) uint32 matrix; natural order in/out.
 
@@ -93,6 +113,8 @@ def ntt(mat, inverse: bool = False):
     assert 1 << log_n == n
     if n == 1:
         return jnp.asarray(mat)
+    if not isinstance(mat, jnp.ndarray) and n <= _NP_THRESHOLD:
+        return _ntt_np(np.asarray(mat), inverse, log_n)
     perm = jnp.asarray(_bitrev_perm(log_n))
     tw = tuple(jnp.asarray(t) for t in _stage_twiddles(log_n, inverse))
     return _ntt_kernel(jnp.asarray(mat), perm, tw, log_n)
@@ -102,9 +124,12 @@ def intt(mat):
     """Evaluations on H (natural order) -> coefficients."""
     n = mat.shape[0]
     if n == 1:
-        return jnp.asarray(mat)
+        return jnp.asarray(mat) if isinstance(mat, jnp.ndarray) else np.asarray(mat)
     out = ntt(mat, inverse=True)
     n_inv = bb.inv_s(n % bb.P)
+    if isinstance(out, np.ndarray):
+        return ((out.astype(np.uint64) * np.uint64(n_inv))
+                % np.uint64(bb.P)).astype(np.uint32)
     return bb.mont_mul(out, jnp.uint32((n_inv * bb.R_MOD_P) % bb.P))
 
 
@@ -127,8 +152,14 @@ def coset_eval(coeffs, log_blowup: int, shift: int = GENERATOR):
     assert 1 << log_n == n
     big_log = log_n + log_blowup
     big_n = 1 << big_log
+    if not isinstance(coeffs, jnp.ndarray) and big_n <= _NP_THRESHOLD:
+        padded = np.zeros((big_n, coeffs.shape[1]), np.uint64)
+        padded[:n] = np.asarray(coeffs)
+        sp = bb.np_from_mont(_shift_powers(big_log, shift)).astype(np.uint64)
+        shifted = ((padded * sp[:, None]) % np.uint64(bb.P)).astype(np.uint32)
+        return _ntt_np(shifted, False, big_log)
     padded = jnp.zeros((big_n, coeffs.shape[1]), jnp.uint32)
-    padded = padded.at[:n].set(coeffs)
+    padded = padded.at[:n].set(jnp.asarray(coeffs))
     sp = jnp.asarray(_shift_powers(big_log, shift))
     shifted = bb.mont_mul(padded, sp[:, None])
     return ntt(shifted)

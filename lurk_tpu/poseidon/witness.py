@@ -205,3 +205,21 @@ def eval_sym(builder, width: int, inputs: List[Expr], witness,
     for k in range(8):
         builder.assert_eq(state[k], is_real * output[k])
     return output
+
+
+def permute_batch_np(width: int, states: np.ndarray) -> np.ndarray:
+    """Vectorized numpy Poseidon2 permutation (no XLA compile cost; used for
+    small batches where device dispatch would dominate)."""
+    cfg = get_config(width)
+    state = [states[:, i].astype(U) % _P for i in range(width)]
+    state = _ext_layer_np(state)
+    for r in range(cfg.r_f // 2):
+        state, _, _ = _ext_round_np(state, cfg, r)
+    for r in range(cfg.r_p):
+        x0 = (state[0] + U(cfg.part_rc_list[r])) % _P
+        sb3 = (x0 * x0 % _P) * x0 % _P
+        state[0] = (x0 * (sb3 * sb3 % _P)) % _P
+        state = _int_layer_np(state, cfg.diag_list)
+    for r in range(cfg.r_f // 2, cfg.r_f):
+        state, _, _ = _ext_round_np(state, cfg, r)
+    return np.stack(state, axis=1)

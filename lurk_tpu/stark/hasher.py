@@ -35,12 +35,39 @@ def _absorb_block(state_T, block_T):
     return bb.from_mont(st)
 
 
+# below this many rows, host numpy beats device dispatch + compile
+_NP_THRESHOLD = 1 << 13
+
+
+def _hash_rows_np(mat: np.ndarray) -> np.ndarray:
+    from ..poseidon.witness import permute_batch_np
+    n, w = mat.shape
+    state = np.zeros((n, WIDTH), np.uint64)
+    pad = (-w) % RATE if w else RATE
+    if pad or w == 0:
+        mat = np.concatenate([mat, np.zeros((n, pad if w else RATE),
+                                            mat.dtype)], axis=1)
+    for c in range(0, mat.shape[1], RATE):
+        state[:, :RATE] = mat[:, c:c + RATE]
+        state = permute_batch_np(WIDTH, state)
+    return state[:, :DIGEST].astype(np.uint32)
+
+
+def _compress_pairs_np(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    from ..poseidon.witness import permute_batch_np
+    st = np.concatenate([left, right], axis=1)
+    return permute_batch_np(WIDTH, st)[:, :DIGEST].astype(np.uint32)
+
+
 def hash_rows(mat) -> jnp.ndarray:
     """Hash each row of (n, w) canonical uint32 -> (n, 8) digests.
 
     Padding-free sponge: rows are chunked by RATE; a final partial chunk is
     zero-padded. All rows have equal width so the sponge schedule is static.
+    Small batches use the host numpy path (no compile/dispatch overhead).
     """
+    if not isinstance(mat, jnp.ndarray) and np.asarray(mat).shape[0] <= _NP_THRESHOLD:
+        return _hash_rows_np(np.asarray(mat, np.uint64))
     mat = jnp.asarray(mat)
     n, w = mat.shape
     state = jnp.zeros((WIDTH, n), jnp.uint32)
@@ -57,10 +84,17 @@ def hash_rows(mat) -> jnp.ndarray:
 
 
 @jax.jit
-def compress_pairs(left, right):
-    """(n, 8), (n, 8) -> (n, 8): truncated permutation of [left || right]."""
+def _compress_pairs_jit(left, right):
     st = jnp.concatenate([left, right], axis=1)  # (n, 16)
     return pperm.permute(st)[:, :DIGEST]
+
+
+def compress_pairs(left, right):
+    """(n, 8), (n, 8) -> (n, 8): truncated permutation of [left || right]."""
+    if not isinstance(left, jnp.ndarray) and np.asarray(left).shape[0] <= _NP_THRESHOLD:
+        return _compress_pairs_np(np.asarray(left, np.uint64),
+                                  np.asarray(right, np.uint64))
+    return _compress_pairs_jit(left, right)
 
 
 # --- scalar versions (transcript / verifier) -------------------------------
