@@ -591,8 +591,15 @@ def _m_debug(repl, args, path):
     entries = repl.queries.debug_data.entries
     if args != repl.zstore.nil:
         (expr,) = _take(repl, args, 1)
-        repl.handle_non_meta(expr)
+        prev = repl.use_native
+        repl.use_native = False  # debug entries only exist on the python path
+        try:
+            repl.handle_non_meta(expr)
+        finally:
+            repl.use_native = prev
         entries = repl.queries.debug_data.entries
+    elif not entries:
+        print("(no debug entries recorded; rerun as !(debug <expr>))")
     for e in entries[:200]:
         indent = "  " * e.dbg_depth
         print(f"{indent}{e.kind} query {e.query_idx}")

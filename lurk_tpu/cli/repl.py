@@ -39,6 +39,9 @@ class Repl:
         self.env = self.zstore.intern_empty_env()
         self.state = State.init_lurk_state()
         self.config = config or PRODUCTION_CONFIG
+        # tri-state: None = auto (native C++ interpreter when built),
+        # False = force python (set by !(debug) to collect call entries)
+        self.use_native = None
         self._machine = None
         self._machine_keys = None
         from .meta import build_meta_cmds
@@ -84,12 +87,14 @@ class Repl:
     # -- reduction ---------------------------------------------------------
 
     def reduce_with_env(self, expr: ZPtr, env: ZPtr) -> ZPtr:
+        from ..core.eval_api import execute_main
         self.prepare_queries()
         args = ((expr.tag,) + (0,) * 7 + tuple(expr.digest)
                 + tuple(env.digest))
         dbg = self.toplevel.func_index["eval"]
-        out = execute_by_name(self.toplevel, "lurk_main", list(args),
-                              self.queries, dbg_func_idx=dbg)
+        out = execute_main(self.toplevel, "lurk_main", list(args),
+                           self.queries, use_native=self.use_native,
+                           dbg_func_idx=dbg)
         return ZPtr(int(out[0]), tuple(int(x) for x in out[8:16]))
 
     def reduce_aux_with_env(self, expr: ZPtr, env: ZPtr):
@@ -105,6 +110,11 @@ class Repl:
         copy of the query record (reference: src/core/cli/repl.rs:432-458)."""
         import copy
         queries_tmp = copy.deepcopy(self.queries)
+        # a native reduction leaves columnar query maps; the python
+        # interpreter continues from them only in IndexMap form
+        queries_tmp.func_queries = [
+            m.to_index_map() if hasattr(m, "to_index_map") else m
+            for m in queries_tmp.func_queries]
         out = execute_by_name(self.toplevel, "egress", [tag, ptr], queries_tmp)
         zptr = ZPtr(int(out[0]), tuple(int(x) for x in out[1:9]))
         hash4_idx = self.toplevel.func_index["hash4"]

@@ -60,3 +60,13 @@ class ColumnarQueryMap:
     @property
     def values(self):
         return [self.get_index(i)[1] for i in range(len(self))]
+
+    def to_index_map(self):
+        """Explode into a mutable IndexMap so the python interpreter can
+        continue from this record (e.g. REPL manual egression)."""
+        from .execute import IndexMap
+        im = IndexMap()
+        for i in range(len(self)):
+            k, v = self.get_index(i)
+            im.insert_full(k, v)
+        return im

@@ -107,6 +107,11 @@ class NativeToplevel:
                 rec, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
         finally:
             lib.lair_record_free(rec)
+        # the native run starts from a blank record (modulo inv injections):
+        # reset func/mem/bytes state before decoding so repeated REPL
+        # reductions don't accumulate stale entries. A failed native run
+        # (exception above) leaves `queries` untouched for python fallback.
+        queries.clean()
         _decode_record(self.toplevel, buf, queries)
         pv = queries.expect_public_values()
         func = self.toplevel.func_by_index(func_idx)
