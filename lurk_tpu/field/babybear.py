@@ -88,14 +88,19 @@ def two_adic_generator_s(bits: int) -> int:
 # ---------------------------------------------------------------------------
 
 def fadd(a, b):
-    """(a + b) mod p for canonical uint32 tensors. Also valid in Mont form."""
+    """(a + b) mod p for canonical uint32 tensors. Also valid in Mont form.
+
+    Branchless: s < 2p, and for s < p the wrapped s-p lands in
+    [2^32-p, 2^32) > p > s, so min picks the reduced representative -
+    one VPU op instead of compare+select."""
     s = a + b  # a, b < p < 2^31 so no uint32 overflow
-    return jnp.where(s >= _P32, s - _P32, s)
+    return jnp.minimum(s, s - _P32)
 
 
 def fsub(a, b):
+    """(a - b) mod p; same min trick (d+p < 2p < 2^32 never wraps)."""
     d = a - b  # wraps mod 2^32
-    return jnp.where(a < b, d + _P32, d)
+    return jnp.minimum(d, d + _P32)
 
 
 def fneg(a):
@@ -143,7 +148,8 @@ def mont_mul(a, b):
     m = lo * _MU32                      # mod 2^32
     mp_hi = _mul_p_hi(m)                # lo + low32(m*P) == 0 mod 2^32
     t = hi + mp_hi + (lo != 0).astype(u32)
-    return jnp.where(t >= _P32, t - _P32, t)
+    # t < hi_max + p + 1 < 2p, so the fadd-style min reduction applies
+    return jnp.minimum(t, t - _P32)
 
 
 def to_mont(a):
@@ -156,7 +162,7 @@ def from_mont(a):
     lo = a
     m = lo * _MU32
     t = _mul_p_hi(m) + (lo != 0).astype(u32)
-    return jnp.where(t >= _P32, t - _P32, t)
+    return jnp.minimum(t, t - _P32)
 
 
 def fmul(a, b):
@@ -189,14 +195,27 @@ def fdiv(a, b):
 # Montgomery-domain helpers for hot kernels -------------------------------
 
 def mont_sqr(a):
-    return mont_mul(a, a)
+    """Montgomery square: the wide square needs only 3 multiplies
+    (a0^2, a1^2, a0*a1) and the doubled cross term 2*a0*a1 < 2^32 never
+    wraps (a0 < 2^16, a1 < 2^15), so both carry checks disappear."""
+    a0 = a & _MASK16
+    a1 = a >> 16
+    lolo = a0 * a0
+    hihi = a1 * a1
+    mid = (a0 * a1) << 1                # exact: < 2^32
+    lo = lolo + ((mid & _MASK16) << 16)
+    carry1 = (lo < lolo).astype(u32)
+    hi = hihi + (mid >> 16) + carry1
+    m = lo * _MU32
+    t = hi + _mul_p_hi(m) + (lo != 0).astype(u32)
+    return jnp.minimum(t, t - _P32)
 
 
 def mont_pow7(a):
-    """x^7 in Montgomery domain (3 mont_muls + 1 sqr): used by Poseidon2."""
-    x2 = mont_mul(a, a)
+    """x^7 in Montgomery domain (2 squares + 2 muls): used by Poseidon2."""
+    x2 = mont_sqr(a)
     x3 = mont_mul(x2, a)
-    x6 = mont_mul(x3, x3)
+    x6 = mont_sqr(x3)
     return mont_mul(x6, a)
 
 

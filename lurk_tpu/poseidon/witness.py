@@ -207,19 +207,60 @@ def eval_sym(builder, width: int, inputs: List[Expr], witness,
     return output
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _perm_tables(width: int):
+    cfg = get_config(width)
+    return (np.asarray(cfg.full_rc_list, U), np.asarray(cfg.part_rc_list, U),
+            np.asarray(cfg.diag_list, U))
+
+
+def _pow7_np(x: np.ndarray) -> np.ndarray:
+    x2 = x * x % _P
+    x3 = x2 * x % _P
+    return (x3 * x3 % _P) * x % _P
+
+
+def _ext_layer_arr(st: np.ndarray) -> np.ndarray:
+    """External layer on a (n, w) uint64 array, inputs canonical; all adds
+    with one final reduction (max magnitude ~ w/4 * 7p + 7p < 2^38)."""
+    w = st.shape[1]
+    out = np.empty_like(st)
+    for c in range(0, w, 4):
+        x0, x1 = st[:, c], st[:, c + 1]
+        x2, x3 = st[:, c + 2], st[:, c + 3]
+        t01 = x0 + x1
+        t23 = x2 + x3
+        t0123 = t01 + t23
+        t01123 = t0123 + x1
+        t01233 = t0123 + x3
+        out[:, c + 3] = t01233 + (x0 << 1)
+        out[:, c + 1] = t01123 + (x2 << 1)
+        out[:, c] = t01123 + t01
+        out[:, c + 2] = t01233 + t23
+    for k in range(4):
+        out[:, k::4] = (out[:, k::4]
+                        + out[:, k::4].sum(axis=1, keepdims=True)) % _P
+    return out
+
+
 def permute_batch_np(width: int, states: np.ndarray) -> np.ndarray:
     """Vectorized numpy Poseidon2 permutation (no XLA compile cost; used for
-    small batches where device dispatch would dominate)."""
+    small batches where device dispatch would dominate). Whole-array column
+    ops; the external layer is adds-only with deferred reduction."""
     cfg = get_config(width)
-    state = [states[:, i].astype(U) % _P for i in range(width)]
-    state = _ext_layer_np(state)
+    full_rc, part_rc, diag = _perm_tables(width)
+    st = states.astype(U) % _P
+    st = _ext_layer_arr(st)
     for r in range(cfg.r_f // 2):
-        state, _, _ = _ext_round_np(state, cfg, r)
+        st = _ext_layer_arr(_pow7_np((st + full_rc[r][None, :]) % _P))
     for r in range(cfg.r_p):
-        x0 = (state[0] + U(cfg.part_rc_list[r])) % _P
-        sb3 = (x0 * x0 % _P) * x0 % _P
-        state[0] = (x0 * (sb3 * sb3 % _P)) % _P
-        state = _int_layer_np(state, cfg.diag_list)
+        x0 = _pow7_np((st[:, 0] + part_rc[r]) % _P)
+        st[:, 0] = x0
+        s = st.sum(axis=1) % _P  # w * (p-1) < 2^36: no uint64 overflow
+        st = (st * diag[None, :] + s[:, None]) % _P
     for r in range(cfg.r_f // 2, cfg.r_f):
-        state, _, _ = _ext_round_np(state, cfg, r)
-    return np.stack(state, axis=1)
+        st = _ext_layer_arr(_pow7_np((st + full_rc[r][None, :]) % _P))
+    return st
