@@ -90,17 +90,14 @@ def two_adic_generator_s(bits: int) -> int:
 def fadd(a, b):
     """(a + b) mod p for canonical uint32 tensors. Also valid in Mont form.
 
-    Branchless: s < 2p, and for s < p the wrapped s-p lands in
-    [2^32-p, 2^32) > p > s, so min picks the reduced representative -
-    one VPU op instead of compare+select."""
+    (Mosaic has no vector unsigned-min, so this stays compare+select.)"""
     s = a + b  # a, b < p < 2^31 so no uint32 overflow
-    return jnp.minimum(s, s - _P32)
+    return jnp.where(s >= _P32, s - _P32, s)
 
 
 def fsub(a, b):
-    """(a - b) mod p; same min trick (d+p < 2p < 2^32 never wraps)."""
     d = a - b  # wraps mod 2^32
-    return jnp.minimum(d, d + _P32)
+    return jnp.where(a < b, d + _P32, d)
 
 
 def fneg(a):
@@ -148,8 +145,7 @@ def mont_mul(a, b):
     m = lo * _MU32                      # mod 2^32
     mp_hi = _mul_p_hi(m)                # lo + low32(m*P) == 0 mod 2^32
     t = hi + mp_hi + (lo != 0).astype(u32)
-    # t < hi_max + p + 1 < 2p, so the fadd-style min reduction applies
-    return jnp.minimum(t, t - _P32)
+    return jnp.where(t >= _P32, t - _P32, t)
 
 
 def to_mont(a):
@@ -162,7 +158,7 @@ def from_mont(a):
     lo = a
     m = lo * _MU32
     t = _mul_p_hi(m) + (lo != 0).astype(u32)
-    return jnp.minimum(t, t - _P32)
+    return jnp.where(t >= _P32, t - _P32, t)
 
 
 def fmul(a, b):
@@ -208,7 +204,7 @@ def mont_sqr(a):
     hi = hihi + (mid >> 16) + carry1
     m = lo * _MU32
     t = hi + _mul_p_hi(m) + (lo != 0).astype(u32)
-    return jnp.minimum(t, t - _P32)
+    return jnp.where(t >= _P32, t - _P32, t)
 
 
 def mont_pow7(a):

@@ -58,17 +58,44 @@ def sharded_logup_sum(mesh: Mesh, phi_blocks, axis: str = "shard"):
     from jax.experimental.shard_map import shard_map
 
     def local_sum(block):
-        # modular tree-sum of the local rows then cross-device psum.
-        s = block.astype(jnp.uint64)
-        s = jnp.sum(s, axis=0) % jnp.uint64(bb.P)
-        total = jax.lax.psum(s, axis)  # < n_devices * p, reduce once more
-        return (total % jnp.uint64(bb.P)).astype(jnp.uint32)
+        # modular tree-sum of the local rows, then a psum-safe cross-device
+        # reduction (see _psum_mod; plain psum of uint32 would wrap)
+        return _psum_mod(_modsum_axis0(block), axis)
 
     fn = shard_map(local_sum, mesh=mesh,
                    in_specs=P(axis, None), out_specs=P(None))
     sharding = NamedSharding(mesh, P(axis, None))
     phi_blocks = jax.device_put(phi_blocks, sharding)
     return jax.jit(fn)(phi_blocks)
+
+
+def _psum_mod(s, axis):
+    """Modular psum of reduced uint32 values without a 64-bit datapath.
+
+    Splits into 16-bit halves so the integer psum cannot wrap for any
+    realistic device count (hi < 2^15, lo < 2^16, so D < 2^16 is safe),
+    then recombines mod p on every device (replicated output)."""
+    hi = jax.lax.psum(s >> 16, axis)
+    lo = jax.lax.psum(s & jnp.uint32(0xFFFF), axis)
+    # hi * 2^16 + lo mod p; operands already < 2^31 so fmul/fadd apply
+    return bb.fadd(bb.fmul(hi, jnp.uint32((1 << 16) % bb.P)),
+                   _reduce_once(lo))
+
+
+def _reduce_once(x):
+    """Reduce a value < 2^31 into [0, p) (single conditional subtract)."""
+    return jnp.where(x >= jnp.uint32(bb.P), x - jnp.uint32(bb.P), x)
+
+
+def _modsum_axis0(x):
+    """Modular sum over axis 0 in uint32 (pairwise fadd tree; stays exact
+    without a 64-bit datapath)."""
+    while x.shape[0] > 1:
+        n = x.shape[0]
+        half = n // 2
+        lo = bb.fadd(x[:half], x[half:2 * half])
+        x = lo if n % 2 == 0 else jnp.concatenate([lo, x[2 * half:]], axis=0)
+    return x[0]
 
 
 def sharded_commit_step(mesh: Mesh, trace, axis: str = "shard"):
@@ -79,9 +106,7 @@ def sharded_commit_step(mesh: Mesh, trace, axis: str = "shard"):
 
     def step(block):
         digests = hasher.hash_rows(block)
-        s = jnp.sum(digests[:, :4].astype(jnp.uint64), axis=0) % jnp.uint64(bb.P)
-        total = jax.lax.psum(s, axis) % jnp.uint64(bb.P)
-        return digests, total.astype(jnp.uint32)
+        return digests, _psum_mod(_modsum_axis0(digests[:, :4]), axis)
 
     fn = shard_map(step, mesh=mesh, in_specs=P(axis, None),
                    out_specs=(P(axis, None), P(None)))
