@@ -22,7 +22,6 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from lurk_tpu.poseidon import perm
     from lurk_tpu.field import babybear as bb
 
     batch = 1 << 19
@@ -30,10 +29,22 @@ def main():
     rng = np.random.default_rng(0)
     states = rng.integers(0, bb.P, size=(24, batch), dtype=np.uint32)
 
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        from lurk_tpu.poseidon import tpu_kernel
+
+        def one(x):
+            return tpu_kernel.permute_mont_tpu(x, tile=1024)
+    else:
+        from lurk_tpu.poseidon import perm
+
+        def one(x):
+            return perm.permute_mont(x)
+
     @jax.jit
     def chain(x):
         for _ in range(iters):
-            x = perm.permute_mont(x)
+            x = one(x)
         # fold to a single scalar so the sync transfer is tiny
         return jnp.bitwise_xor.reduce(jnp.bitwise_xor.reduce(x))
 
