@@ -60,13 +60,33 @@ class Challenger:
     def grind(self, pow_bits: int) -> int:
         """Find a witness felt w such that observe(w); sample_bits == 0.
 
-        Brute force over candidates against a *copy* of the state; the real
-        transcript then absorbs the winning witness.
+        Vectorized: for every candidate w the duplex that follows
+        observe(w) permutes the state with the pending input buffer plus w
+        written into the rate, and the sampled value is the permuted
+        state[0] (this holds whether observe itself triggers the duplex or
+        the subsequent sample does). So candidates are screened in numpy
+        batches; the winning witness is then absorbed by the real
+        transcript and double-checked with the scalar path.
         """
-        for w in range(1 << 22):
-            c = self.copy()
-            c.observe(w)
-            if c.sample_bits(pow_bits) == 0:
+        import numpy as np
+        from ..poseidon.witness import permute_batch_np
+
+        buf = list(self.input_buffer)
+        assert len(buf) < RATE
+        k = len(buf)
+        mask = (1 << pow_bits) - 1
+        chunk = 1 << 15
+        for start in range(0, 1 << 22, chunk):
+            ws = np.arange(start, start + chunk, dtype=np.uint64)
+            states = np.tile(np.asarray(self.state, np.uint64),
+                             (len(ws), 1))
+            if k:
+                states[:, :k] = np.asarray(buf, np.uint64)[None, :]
+            states[:, k] = ws
+            out0 = permute_batch_np(WIDTH, states)[:, 0]
+            hits = np.nonzero((out0 & np.uint64(mask)) == 0)[0]
+            if len(hits):
+                w = int(ws[hits[0]])
                 assert self.check_witness(pow_bits, w)
                 return w
         raise RuntimeError("grind failed")
