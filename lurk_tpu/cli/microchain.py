@@ -112,7 +112,7 @@ class MicrochainServer:
             if kind == "get_state":
                 return self._get(req["id"], "state", "NoDataForId")
             if kind == "get_proofs":
-                proofs = self._load(req["id"], "proofs") or []
+                proofs = self._load(_hex(req["id"]), "proofs") or []
                 return {"kind": "proofs", "proofs": proofs}
             if kind == "transition":
                 return self._transition(req["id"], req["proof"])
