@@ -171,14 +171,19 @@ class BlockBuilder:
     def match(self, v: E.Var, branches, default=None,
               case_type: E.CaseType = E.CaseType.CONSTRAINED,
               default_case_type: Optional[E.CaseType] = None):
-        """branches: list of (key_or_keys, fn). Keys are scalar ints."""
+        """branches: list of (key_or_keys, fn) or (key_or_keys,
+        (fn, case_type)) for per-branch constrainedness. Keys are scalar
+        ints."""
         assert self.ctrl is None
         brs = []
         for keys, fn in branches:
+            ct = case_type
+            if isinstance(fn, tuple):
+                fn, ct = fn
             if isinstance(keys, int):
                 keys = (keys,)
             keys = tuple(E.as_field(k) for k in keys)
-            brs.append((keys, self._sub_block(fn), case_type))
+            brs.append((keys, self._sub_block(fn), ct))
         dflt = None
         if default is not None:
             dct = default_case_type if default_case_type is not None else case_type
