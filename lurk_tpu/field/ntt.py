@@ -81,8 +81,17 @@ def _ntt_kernel(mat, perm, twiddles, log_n: int):
     return x
 
 
-# below this many rows, host numpy beats device dispatch + per-shape compile
-_NP_THRESHOLD = 1 << 13
+# below this many rows, host numpy beats device dispatch + per-shape
+# compile. Backend-aware: on a CPU-only backend the XLA compile tax bites
+# much deeper, so the crossover sits higher.
+@lru_cache(maxsize=1)
+def _np_threshold() -> int:
+    import jax
+    try:
+        cpu_only = jax.default_backend() == "cpu"
+    except Exception:
+        cpu_only = True
+    return (1 << 15) if cpu_only else (1 << 13)
 
 
 def _ntt_np(mat: np.ndarray, inverse: bool, log_n: int) -> np.ndarray:
@@ -113,7 +122,7 @@ def ntt(mat, inverse: bool = False):
     assert 1 << log_n == n
     if n == 1:
         return jnp.asarray(mat)
-    if not isinstance(mat, jnp.ndarray) and n <= _NP_THRESHOLD:
+    if not isinstance(mat, jnp.ndarray) and n <= _np_threshold():
         return _ntt_np(np.asarray(mat), inverse, log_n)
     perm = jnp.asarray(_bitrev_perm(log_n))
     tw = tuple(jnp.asarray(t) for t in _stage_twiddles(log_n, inverse))
@@ -152,7 +161,7 @@ def coset_eval(coeffs, log_blowup: int, shift: int = GENERATOR):
     assert 1 << log_n == n
     big_log = log_n + log_blowup
     big_n = 1 << big_log
-    if not isinstance(coeffs, jnp.ndarray) and big_n <= _NP_THRESHOLD:
+    if not isinstance(coeffs, jnp.ndarray) and big_n <= _np_threshold():
         padded = np.zeros((big_n, coeffs.shape[1]), np.uint64)
         padded[:n] = np.asarray(coeffs)
         sp = bb.np_from_mont(_shift_powers(big_log, shift)).astype(np.uint64)

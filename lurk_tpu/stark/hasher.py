@@ -36,7 +36,10 @@ def _absorb_block(state_T, block_T):
 
 
 # below this many rows, host numpy beats device dispatch + compile
-_NP_THRESHOLD = 1 << 13
+# (everything on a CPU-only backend: the compile tax dominates there)
+def _np_threshold() -> int:
+    from ..field.ntt import _np_threshold as f
+    return f()
 
 
 def _hash_rows_np(mat: np.ndarray) -> np.ndarray:
@@ -66,7 +69,7 @@ def hash_rows(mat) -> jnp.ndarray:
     zero-padded. All rows have equal width so the sponge schedule is static.
     Small batches use the host numpy path (no compile/dispatch overhead).
     """
-    if not isinstance(mat, jnp.ndarray) and np.asarray(mat).shape[0] <= _NP_THRESHOLD:
+    if not isinstance(mat, jnp.ndarray) and np.asarray(mat).shape[0] <= _np_threshold():
         return _hash_rows_np(np.asarray(mat, np.uint64))
     mat = jnp.asarray(mat)
     n, w = mat.shape
@@ -91,7 +94,7 @@ def _compress_pairs_jit(left, right):
 
 def compress_pairs(left, right):
     """(n, 8), (n, 8) -> (n, 8): truncated permutation of [left || right]."""
-    if not isinstance(left, jnp.ndarray) and np.asarray(left).shape[0] <= _NP_THRESHOLD:
+    if not isinstance(left, jnp.ndarray) and np.asarray(left).shape[0] <= _np_threshold():
         return _compress_pairs_np(np.asarray(left, np.uint64),
                                   np.asarray(right, np.uint64))
     return _compress_pairs_jit(left, right)
