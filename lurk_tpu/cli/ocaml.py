@@ -82,22 +82,13 @@ def _to_lurk(node) -> str:
         body = _to_lurk(node[-1])
         return f"(lambda ({' '.join(_sanitize(p) for p in params)}) {body})"
     if head == "let":
-        # (let (bindings...) body)
-        binds = node[1]
-        pairs = []
-        i = 0
-        while i + 1 < len(binds) + 1 and i + 1 < len(binds):
-            pairs.append(f"({_sanitize(binds[i])} {_to_lurk(binds[i + 1])})")
-            i += 2
+        # (let (name = value ...) body) - `=` separators as printed by
+        # ocamlc -dlambda
+        pairs = _bind_pairs(node[1])
         body = _to_lurk(node[-1])
         return f"(let ({' '.join(pairs)}) {body})"
     if head in ("letrec", "letrec*"):
-        binds = node[1]
-        pairs = []
-        i = 0
-        while i + 1 < len(binds):
-            pairs.append(f"({_sanitize(binds[i])} {_to_lurk(binds[i + 1])})")
-            i += 2
+        pairs = _bind_pairs(node[1])
         body = _to_lurk(node[-1])
         return f"(letrec ({' '.join(pairs)}) {body})"
     if head == "if":
@@ -112,9 +103,33 @@ def _to_lurk(node) -> str:
     if head == "seq":
         parts = [_to_lurk(n) for n in node[1:]]
         return f"(begin {' '.join(parts)})"
+    if head == "makeblock":
+        # toplevel module block: evaluate every field, return the last
+        parts = [_to_lurk(n) for n in node[2:]]
+        if not parts:
+            return "nil"
+        if len(parts) == 1:
+            return parts[0]
+        return f"(begin {' '.join(parts)})"
     # fallback: application form
     parts = [_to_lurk(n) for n in node]
     return f"({' '.join(parts)})"
+
+
+def _bind_pairs(binds):
+    """(name [=] value)* with optional `=` separators."""
+    pairs = []
+    i = 0
+    while i < len(binds):
+        name = binds[i]
+        if i + 1 < len(binds) and binds[i + 1] == "=":
+            value = binds[i + 2]
+            i += 3
+        else:
+            value = binds[i + 1]
+            i += 2
+        pairs.append(f"({_sanitize(name)} {_to_lurk(value)})")
+    return pairs
 
 
 def _sanitize(name: str) -> str:
