@@ -26,7 +26,14 @@ class Challenger:
         for i, v in enumerate(self.input_buffer):
             self.state[i] = v
         self.input_buffer.clear()
-        self.state = pref.permute_s(self.state)
+        # singleton batch through the vectorized permutation: the prover
+        # absorbs thousands of opened values, and the pure-python oracle
+        # costs ~1ms per duplex (bit-exact equality with pref.permute_s is
+        # covered by tests/test_poseidon.py)
+        import numpy as np
+        from ..poseidon.witness import permute_batch_np
+        out = permute_batch_np(WIDTH, np.asarray([self.state], np.uint64))
+        self.state = [int(x) for x in out[0]]
         self.output_buffer = list(self.state[:RATE])
 
     def observe(self, value: int):

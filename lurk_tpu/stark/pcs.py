@@ -121,21 +121,24 @@ def eval_at_ext_point(mat_on_h: np.ndarray, z) -> List[tuple]:
 
 
 def ext_powers(z, n: int) -> np.ndarray:
-    out = np.empty((n, 4), U)
-    acc = (1, 0, 0, 0)
-    for i in range(n):
-        out[i] = acc
-        acc = ext_s.emul_s(acc, z)
+    """[z^0 .. z^(n-1)] via vectorized doubling: out[k:2k] = out[:k] * z^k."""
+    n = max(n, 1)
+    out = np.zeros((n, 4), U)
+    out[0, 0] = 1
+    k = 1
+    zk = tuple(int(v) for v in z)  # z^k
+    while k < n:
+        m = min(k, n - k)
+        out[k:k + m] = E.emul(out[:m], E.from_scalar(zk, (1,)))
+        zk = ext_s.emul_s(zk, zk)
+        k *= 2
     return out
 
 
 def ext_powers_from(alpha, start: int, count: int) -> np.ndarray:
-    out = np.empty((count, 4), U)
-    acc = ext_s.epow_s(alpha, start)
-    for i in range(count):
-        out[i] = acc
-        acc = ext_s.emul_s(acc, alpha)
-    return out
+    """[alpha^start .. alpha^(start+count-1)]."""
+    base = ext_s.epow_s(alpha, start)
+    return E.emul(ext_powers(alpha, count), E.from_scalar(base, (1,)))
 
 
 @dataclass
@@ -180,10 +183,9 @@ def open_rounds(rounds: List[CommittedRound],
                 apows = ext_powers_from(alpha, alpha_cnt, w)
                 alpha_cnt += w
                 fx = matmul_mod(lde_mat, apows)     # (H, 4)
-                y_alpha = (0, 0, 0, 0)
-                for y, ap in zip(ys, apows):
-                    y_alpha = ext_s.eadd_s(
-                        y_alpha, ext_s.emul_s(y, tuple(int(v) for v in ap)))
+                ys_arr = np.asarray(ys, U)          # (w, 4)
+                y_alpha = tuple(
+                    int(v) for v in E.emul(ys_arr, apows).sum(axis=0) % _P)
                 num = E.esub(fx, E.from_scalar(y_alpha, (H,)))
                 inv_xz = inv_xz_cache.get((log_h, z))
                 if inv_xz is None:
@@ -257,15 +259,15 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
                 row = [int(x) % bb.P for x in opening.rows[group_pos[m]]]
                 assert len(row) == w
                 x = _domain_point(log_n, index)
+                row_arr = np.asarray(row, U)
                 for z, ys in zip(pts, opened[r][m]):
                     apows = ext_powers_from(alpha, alpha_cnt, w)
                     alpha_cnt += w
-                    fx = (0, 0, 0, 0)
-                    y_alpha = (0, 0, 0, 0)
-                    for j in range(w):
-                        ap = tuple(int(v) for v in apows[j])
-                        fx = ext_s.eadd_s(fx, ext_s.emul_s(ap, (row[j], 0, 0, 0)))
-                        y_alpha = ext_s.eadd_s(y_alpha, ext_s.emul_s(ap, ys[j]))
+                    fx = tuple(int(v) for v in
+                               E.escale(apows, row_arr).sum(axis=0) % _P)
+                    y_alpha = tuple(
+                        int(v) for v in
+                        E.emul(apows, np.asarray(ys, U)).sum(axis=0) % _P)
                     num = ext_s.esub_s(fx, y_alpha)
                     xz = ext_s.esub_s((x, 0, 0, 0), z)
                     contrib = ext_s.emul_s(num, ext_s.einv_s(xz))
