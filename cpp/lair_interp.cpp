@@ -18,6 +18,7 @@
 #include <string>
 #include <unordered_map>
 #include <vector>
+#include <thread>
 
 namespace {
 
@@ -924,5 +925,47 @@ void lair_record_copy(void* st_ptr, u32* out) {
 const char* lair_error(void* st_ptr) { return ((Interp*)st_ptr)->error.c_str(); }
 
 void lair_record_free(void* st_ptr) { delete (Interp*)st_ptr; }
+
+// Standalone batched Poseidon2 permutation (any width), used by the python
+// prover's Merkle hashing / challenger host paths. `consts` stream:
+// width, r_f, r_p, full_rc (r_f*width), part_rc (r_p), diag (width).
+// input/output: n rows of `width` canonical u32 felts (may alias).
+void lair_poseidon_batch(const u32* consts, u64 consts_len, const u32* input,
+                         u32* output, u64 n) {
+  PoseidonCfg cfg;
+  Reader pr{consts, consts + consts_len};
+  cfg.width = pr.next();
+  cfg.r_f = pr.next();
+  cfg.r_p = pr.next();
+  cfg.full_rc.resize((size_t)cfg.r_f * cfg.width);
+  for (auto& x : cfg.full_rc) x = pr.next();
+  cfg.part_rc.resize(cfg.r_p);
+  for (auto& x : cfg.part_rc) x = pr.next();
+  cfg.diag.resize(cfg.width);
+  for (auto& x : cfg.diag) x = pr.next();
+
+  u32 w = cfg.width;
+  auto run = [&](u64 lo, u64 hi) {
+    std::vector<u32> s(w);
+    for (u64 i = lo; i < hi; i++) {
+      std::copy(input + i * w, input + (i + 1) * w, s.begin());
+      poseidon2(cfg, s.data());
+      std::copy(s.begin(), s.end(), output + i * w);
+    }
+  };
+  u64 nthreads = std::min<u64>(std::thread::hardware_concurrency(), 8);
+  if (nthreads <= 1 || n < 256) {
+    run(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  u64 chunk = (n + nthreads - 1) / nthreads;
+  for (u64 t = 0; t < nthreads; t++) {
+    u64 lo = t * chunk, hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back(run, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
 
 }  // extern "C"

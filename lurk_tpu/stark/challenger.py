@@ -31,8 +31,8 @@ class Challenger:
         # costs ~1ms per duplex (bit-exact equality with pref.permute_s is
         # covered by tests/test_poseidon.py)
         import numpy as np
-        from ..poseidon.witness import permute_batch_np
-        out = permute_batch_np(WIDTH, np.asarray([self.state], np.uint64))
+        from ..poseidon.witness import permute_batch_host
+        out = permute_batch_host(WIDTH, np.asarray([self.state], np.uint64))
         self.state = [int(x) for x in out[0]]
         self.output_buffer = list(self.state[:RATE])
 
@@ -76,7 +76,7 @@ class Challenger:
         transcript and double-checked with the scalar path.
         """
         import numpy as np
-        from ..poseidon.witness import permute_batch_np
+        from ..poseidon.witness import permute_batch_host
 
         buf = list(self.input_buffer)
         assert len(buf) < RATE
@@ -90,7 +90,7 @@ class Challenger:
             if k:
                 states[:, :k] = np.asarray(buf, np.uint64)[None, :]
             states[:, k] = ws
-            out0 = permute_batch_np(WIDTH, states)[:, 0]
+            out0 = permute_batch_host(WIDTH, states)[:, 0]
             hits = np.nonzero((out0 & np.uint64(mask)) == 0)[0]
             if len(hits):
                 w = int(ws[hits[0]])

@@ -43,7 +43,7 @@ def _np_threshold() -> int:
 
 
 def _hash_rows_np(mat: np.ndarray) -> np.ndarray:
-    from ..poseidon.witness import permute_batch_np
+    from ..poseidon.witness import permute_batch_host
     n, w = mat.shape
     state = np.zeros((n, WIDTH), np.uint64)
     pad = (-w) % RATE if w else RATE
@@ -52,14 +52,14 @@ def _hash_rows_np(mat: np.ndarray) -> np.ndarray:
                                             mat.dtype)], axis=1)
     for c in range(0, mat.shape[1], RATE):
         state[:, :RATE] = mat[:, c:c + RATE]
-        state = permute_batch_np(WIDTH, state)
+        state = permute_batch_host(WIDTH, state)
     return state[:, :DIGEST].astype(np.uint32)
 
 
 def _compress_pairs_np(left: np.ndarray, right: np.ndarray) -> np.ndarray:
-    from ..poseidon.witness import permute_batch_np
+    from ..poseidon.witness import permute_batch_host
     st = np.concatenate([left, right], axis=1)
-    return permute_batch_np(WIDTH, st)[:, :DIGEST].astype(np.uint32)
+    return permute_batch_host(WIDTH, st)[:, :DIGEST].astype(np.uint32)
 
 
 def hash_rows(mat) -> jnp.ndarray:
