@@ -102,20 +102,29 @@ def compress_pairs(left, right):
 
 # --- scalar versions (transcript / verifier) -------------------------------
 
+def _permute_1(state):
+    """Single-state permutation via the host batch path (native C++ when
+    built): the verifier runs ~10^5 of these per 100-query proof and the
+    pure-python oracle costs ~1ms each."""
+    from ..poseidon.witness import permute_batch_host
+    out = permute_batch_host(WIDTH, np.asarray([state], np.uint64))
+    return [int(x) for x in out[0]]
+
+
 def hash_row_s(values) -> tuple:
     state = [0] * WIDTH
     values = list(values)
     if not values:
-        return tuple(pref.permute_s(state)[:DIGEST])
+        return tuple(_permute_1(state)[:DIGEST])
     for c in range(0, len(values), RATE):
         chunk = [int(v) % bb.P for v in values[c:c + RATE]]
         chunk += [0] * (RATE - len(chunk))  # zero-pad (matches hash_rows)
         state[:RATE] = chunk
-        state = pref.permute_s(state)
+        state = _permute_1(state)
     return tuple(state[:DIGEST])
 
 
 def compress_s(left, right) -> tuple:
     state = list(left) + list(right)
     assert len(state) == WIDTH
-    return tuple(pref.permute_s(state)[:DIGEST])
+    return tuple(_permute_1(state)[:DIGEST])

@@ -236,10 +236,26 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
     # group info per round (mirrors commit)
     round_groups = [_group_by_height(rnd) for rnd in lde_lhs]
 
+    # per-(round, matrix, point) data reused by every query: alpha powers
+    # and the alpha-folded opened values
+    pts_cache: Dict[Tuple[int, int], list] = {}
+    alpha_cnt = 0
+    for r in range(len(roots)):
+        for m, w in enumerate(widths[r]):
+            entries = []
+            for z, ys in zip(points[r][m], opened[r][m]):
+                apows = ext_powers_from(alpha, alpha_cnt, w)
+                alpha_cnt += w
+                y_alpha = tuple(
+                    int(v) for v in
+                    E.emul(apows, np.asarray(ys, U)).sum(axis=0) % _P)
+                entries.append((z, apows, y_alpha))
+            pts_cache[(r, m)] = entries
+
     def input_value_fn(log_n: int, index: int, q_ordinal: int):
         total = None
-        alpha_cnt = 0
         per_round = proof.query_openings[q_ordinal]
+        x = _domain_point(log_n, index)
         for r in range(len(roots)):
             # locate the group entry for this size (if any)
             entry_rows = None
@@ -250,24 +266,16 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
             group_pos = {m: gi for (g_log, ms) in round_groups[r]
                          for gi, m in enumerate(ms) if g_log == log_n}
             for m, w in enumerate(widths[r]):
-                pts = points[r][m]
                 if lde_lhs[r][m] != log_n:
-                    alpha_cnt += w * len(pts)
                     continue
                 assert entry_rows is not None
                 midxs, opening = entry_rows
-                row = [int(x) % bb.P for x in opening.rows[group_pos[m]]]
+                row = [int(x_) % bb.P for x_ in opening.rows[group_pos[m]]]
                 assert len(row) == w
-                x = _domain_point(log_n, index)
                 row_arr = np.asarray(row, U)
-                for z, ys in zip(pts, opened[r][m]):
-                    apows = ext_powers_from(alpha, alpha_cnt, w)
-                    alpha_cnt += w
+                for z, apows, y_alpha in pts_cache[(r, m)]:
                     fx = tuple(int(v) for v in
                                E.escale(apows, row_arr).sum(axis=0) % _P)
-                    y_alpha = tuple(
-                        int(v) for v in
-                        E.emul(apows, np.asarray(ys, U)).sum(axis=0) % _P)
                     num = ext_s.esub_s(fx, y_alpha)
                     xz = ext_s.esub_s((x, 0, 0, 0), z)
                     contrib = ext_s.emul_s(num, ext_s.einv_s(xz))
