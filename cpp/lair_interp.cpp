@@ -926,6 +926,48 @@ const char* lair_error(void* st_ptr) { return ((Interp*)st_ptr)->error.c_str(); 
 
 void lair_record_free(void* st_ptr) { delete (Interp*)st_ptr; }
 
+// In-place radix-2 DIT NTT stages over a (n, w) row-major matrix whose rows
+// were already bit-reverse permuted by the caller. `twiddles` is the
+// concatenation of per-stage canonical twiddle tables (stage s has 2^s
+// entries), matching lurk_tpu/field/ntt.py::_stage_twiddles. Butterflies
+// run along rows (all w columns per pair), threaded over butterfly blocks.
+void lair_ntt_stages(u32* data, u64 n, u64 w, const u32* twiddles) {
+  u64 nthreads = std::min<u64>(std::thread::hardware_concurrency(), 8);
+  const u32* stage_tw = twiddles;
+  for (u64 m = 1; m < n; m <<= 1) {
+    // blocks of size 2m: rows [blk, blk+m) pair with [blk+m, blk+2m);
+    // parallelize over the n/2 independent butterflies (blk, j)
+    u64 n_bfly = n / 2;
+    auto run = [&](u64 lo, u64 hi) {
+      for (u64 idx = lo; idx < hi; idx++) {
+        u64 blk = idx / m, j = idx % m;
+        u32 tw = stage_tw[j];
+        u32* a = data + (blk * 2 * m + j) * w;
+        u32* b = a + m * w;
+        for (u64 c = 0; c < w; c++) {
+          u32 tb = fmul(b[c], tw);
+          u32 top = fadd(a[c], tb);
+          b[c] = fsub(a[c], tb);
+          a[c] = top;
+        }
+      }
+    };
+    if (nthreads <= 1 || n_bfly * w < (1u << 15)) {
+      run(0, n_bfly);
+    } else {
+      std::vector<std::thread> pool;
+      u64 chunk = (n_bfly + nthreads - 1) / nthreads;
+      for (u64 t = 0; t < nthreads; t++) {
+        u64 lo = t * chunk, hi = std::min(n_bfly, lo + chunk);
+        if (lo >= hi) break;
+        pool.emplace_back(run, lo, hi);
+      }
+      for (auto& th : pool) th.join();
+    }
+    stage_tw += m;
+  }
+}
+
 // Standalone batched Poseidon2 permutation (any width), used by the python
 // prover's Merkle hashing / challenger host paths. `consts` stream:
 // width, r_f, r_p, full_rc (r_f*width), part_rc (r_p), diag (width).

@@ -94,8 +94,23 @@ def _np_threshold() -> int:
     return (1 << 18) if cpu_only else (1 << 13)
 
 
+@lru_cache(maxsize=None)
+def _flat_twiddles(log_n: int, inverse: bool) -> np.ndarray:
+    """Concatenated canonical per-stage twiddle tables (native NTT input)."""
+    return np.concatenate(
+        [bb.np_from_mont(t) for t in _stage_twiddles(log_n, inverse)]) \
+        if log_n else np.zeros(0, np.uint32)
+
+
 def _ntt_np(mat: np.ndarray, inverse: bool, log_n: int) -> np.ndarray:
     n = 1 << log_n
+    from ..lair import native
+    if native.native_available():
+        try:
+            x = np.ascontiguousarray(mat[_bitrev_perm(log_n)], np.uint32)
+            return native.ntt_stages(x, _flat_twiddles(log_n, inverse))
+        except Exception:
+            pass  # stale library without the NTT entry point
     x = mat.astype(np.uint64)[_bitrev_perm(log_n)]
     pp = np.uint64(bb.P)
     for s in range(log_n):

@@ -235,6 +235,28 @@ def _batch_fn():
     return lib.lair_poseidon_batch
 
 
+@lru_cache(maxsize=1)
+def _ntt_fn():
+    lib = _lib()
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.lair_ntt_stages.restype = None
+    lib.lair_ntt_stages.argtypes = [u32p, ctypes.c_uint64, ctypes.c_uint64,
+                                    u32p]
+    return lib.lair_ntt_stages
+
+
+def ntt_stages(data: np.ndarray, twiddles: np.ndarray) -> np.ndarray:
+    """In-place DIT butterflies over a bit-reverse-permuted (n, w) uint32
+    matrix; `twiddles` is the flat concatenation of canonical per-stage
+    tables. Threaded C++."""
+    data = np.ascontiguousarray(data, dtype=np.uint32)
+    tw = np.ascontiguousarray(twiddles, dtype=np.uint32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    _ntt_fn()(data.ctypes.data_as(u32p), data.shape[0], data.shape[1],
+              tw.ctypes.data_as(u32p))
+    return data
+
+
 def poseidon_batch(width: int, states: np.ndarray) -> np.ndarray:
     """Batched Poseidon2 permutation through the native library:
     (n, width) canonical uint32/uint64 -> (n, width) uint32. Threaded C++;
