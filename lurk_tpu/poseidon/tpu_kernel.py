@@ -31,6 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..field import babybear as bb
 from .constants import get_config
@@ -156,6 +157,10 @@ def permute_mont_tpu(state, tile: int = DEFAULT_TILE, n_chain: int = 1,
         out_specs=pl.BlockSpec((width * _SUB, tp), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.uint32),
         interpret=interpret,
+        # grid iterations are independent: lets Mosaic pipeline tiles and
+        # roughly halves compile time
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
     )(packed, frc8, diag8)
     return out.reshape(width, batch)
 
