@@ -39,12 +39,24 @@ LOG_BLOWUP = 1
 
 
 def matmul_mod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(n,k) @ (k,m) mod p with 16-bit splitting (int64-safe)."""
+    """(n,k) @ (k,m) mod p with 16-bit splitting.
+
+    Each split product term is < 2^47, so the int64 accumulator only holds
+    sums of up to 2^16 terms; larger inner dimensions (e.g. coefficient
+    counts in eval_coeffs_at) are chunked and folded mod p."""
     a = a.astype(np.int64)
     b = b.astype(np.int64)
-    a_lo = a & 0xFFFF
-    a_hi = a >> 16
-    return ((((a_lo @ b) % bb.P) + (((a_hi @ b) % bb.P) << 16)) % bb.P).astype(U)
+    k = a.shape[1]
+    chunk = 1 << 15
+    acc = None
+    for s in range(0, max(k, 1), chunk):
+        a_c = a[:, s:s + chunk]
+        b_c = b[s:s + chunk]
+        a_lo = a_c & 0xFFFF
+        a_hi = a_c >> 16
+        part = (((a_lo @ b_c) % bb.P) + (((a_hi @ b_c) % bb.P) << 16)) % bb.P
+        acc = part if acc is None else (acc + part) % bb.P
+    return acc.astype(U)
 
 
 def _group_by_height(log_heights: List[int]) -> List[Tuple[int, List[int]]]:

@@ -96,3 +96,31 @@ def test_tampered_trace_consistent_transcript_fails():
     ok = pcs.verify_rounds([rounds[0].roots], [[3]], [[3]], points, proof,
                            CFG, ch_v)
     assert not ok
+
+
+def test_matmul_mod_large_inner_dim():
+    """Regression: int64 accumulator overflow for inner dims > 2^16 (the
+    coefficient count in eval_coeffs_at at big trace heights) silently
+    corrupted opened values and broke FRI's degree bound."""
+    rng = np.random.default_rng(77)
+    k = (1 << 16) + 17
+    a = rng.integers(0, bb.P, size=(2, k), dtype=np.uint64)
+    b_ = rng.integers(0, bb.P, size=(k, 2), dtype=np.uint64)
+    got = pcs.matmul_mod(a, b_)
+    want = (a.astype(object) @ b_.astype(object)) % bb.P
+    assert np.array_equal(got.astype(object), want)
+
+
+def test_open_rounds_large_height():
+    """PCS opening survives trace heights past the int64 matmul crossover."""
+    rng = np.random.default_rng(78)
+    log_h = 17
+    mat = rng.integers(0, bb.P, size=(1 << log_h, 2), dtype=np.uint64)
+    rnd = pcs.commit([mat])
+    ch = Challenger()
+    for root in rnd.roots:
+        ch.observe_many(root)
+    zeta = ch.sample_ext()
+    cfg = FriConfig(1, 2, 1)
+    proof = pcs.open_rounds([rnd], [[[zeta]]], cfg, ch)
+    assert proof.fri_proof is not None
