@@ -91,7 +91,7 @@ def _np_threshold() -> int:
         cpu_only = jax.default_backend() == "cpu"
     except Exception:
         cpu_only = True
-    return (1 << 18) if cpu_only else (1 << 13)
+    return (1 << 30) if cpu_only else (1 << 13)
 
 
 @lru_cache(maxsize=None)
