@@ -835,6 +835,24 @@ std::unordered_map<void*, std::vector<u32>*>* g_rec_cache() {
 
 }  // namespace
 
+// Helper: run fn(lo, hi) over [0, n) across threads.
+template <typename F>
+void parallel_for(u64 n, u64 min_serial, F fn) {
+  u64 nthreads = std::min<u64>(std::thread::hardware_concurrency(), 8);
+  if (nthreads <= 1 || n < min_serial) {
+    fn((u64)0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  u64 chunk = (n + nthreads - 1) / nthreads;
+  for (u64 t = 0; t < nthreads; t++) {
+    u64 lo = t * chunk, hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back([=]() { fn(lo, hi); });
+  }
+  for (auto& th : pool) th.join();
+}
+
 extern "C" {
 
 void* lair_toplevel_new(const u32* code, u64 code_len,
@@ -925,6 +943,51 @@ void lair_record_copy(void* st_ptr, u32* out) {
 const char* lair_error(void* st_ptr) { return ((Interp*)st_ptr)->error.c_str(); }
 
 void lair_record_free(void* st_ptr) { delete (Interp*)st_ptr; }
+
+// Componentwise degree-4 extension product over F_p[x]/(x^4 - 11):
+// a, b, out are (n, 4) row-major canonical u32 (out may alias a).
+// 4 partial products per coefficient stay under 2^64 (4 * (p-1)^2).
+void lair_ext_emul(const u32* a, const u32* b, u32* out, u64 n) {
+  constexpr u64 W = 11;
+  parallel_for(n, 1 << 12, [=](u64 lo, u64 hi) {
+    for (u64 r = lo; r < hi; r++) {
+      const u32* x = a + r * 4;
+      const u32* y = b + r * 4;
+      u64 c[7] = {0, 0, 0, 0, 0, 0, 0};
+      for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 4; j++)
+          c[i + j] += (u64)x[i] * y[j];
+      u32* o = out + r * 4;
+      for (int i = 0; i < 3; i++)
+        o[i] = (u32)((c[i] % P + W * (c[i + 4] % P)) % P);
+      o[3] = (u32)(c[3] % P);
+    }
+  });
+}
+
+// Extension element times base scalar: a (n,4), s (n), out (n,4).
+void lair_ext_escale(const u32* a, const u32* s, u32* out, u64 n) {
+  parallel_for(n, 1 << 13, [=](u64 lo, u64 hi) {
+    for (u64 r = lo; r < hi; r++)
+      for (int i = 0; i < 4; i++)
+        out[r * 4 + i] = fmul(a[r * 4 + i], s[r]);
+  });
+}
+
+// (n,k) @ (k,m) mod p with a 128-bit accumulator, threaded over rows.
+void lair_matmul_mod(const u32* a, const u32* b, u32* out, u64 n, u64 k,
+                     u64 m) {
+  parallel_for(n, 64, [=](u64 lo, u64 hi) {
+    for (u64 r = lo; r < hi; r++) {
+      const u32* row = a + r * k;
+      for (u64 c = 0; c < m; c++) {
+        unsigned __int128 acc = 0;
+        for (u64 i = 0; i < k; i++) acc += (u64)row[i] * b[i * m + c];
+        out[r * m + c] = (u32)(acc % P);
+      }
+    }
+  });
+}
 
 // In-place radix-2 DIT NTT stages over a (n, w) row-major matrix whose rows
 // were already bit-reverse permuted by the caller. `twiddles` is the

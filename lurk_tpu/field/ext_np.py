@@ -46,12 +46,38 @@ def esub(a, b):
     return (a + _P - b) % _P
 
 
+def _native():
+    from ..lair import native
+    return native if native.native_available() else None
+
+
+# native fast paths engage above this row count (ctypes + copy overhead)
+_NATIVE_MIN = 1 << 12
+
+
 def escale(a, s):
     """ext (...,4) times base (...,)"""
-    return (a * np.asarray(s, U)[..., None]) % _P
+    s = np.asarray(s, U)
+    if (a.ndim == 2 and s.ndim == 1 and a.shape[0] == s.shape[0]
+            and a.shape[0] >= _NATIVE_MIN):
+        nat = _native()
+        if nat is not None:
+            try:
+                return nat.ext_escale(a, s).astype(U)
+            except Exception:
+                pass
+    return (a * s[..., None]) % _P
 
 
 def emul(a, b):
+    if (a.ndim == 2 and b.ndim == 2 and a.shape == b.shape
+            and a.shape[0] >= _NATIVE_MIN):
+        nat = _native()
+        if nat is not None:
+            try:
+                return nat.ext_emul(a, b).astype(U)
+            except Exception:
+                pass
     c = [np.zeros(np.broadcast_shapes(a.shape[:-1], b.shape[:-1]), U)
          for _ in range(7)]
     for i in range(4):

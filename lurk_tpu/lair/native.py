@@ -236,6 +236,56 @@ def _batch_fn():
 
 
 @lru_cache(maxsize=1)
+def _ext_fns():
+    lib = _lib()
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    for name, argtypes in (
+            ("lair_ext_emul", [u32p, u32p, u32p, ctypes.c_uint64]),
+            ("lair_ext_escale", [u32p, u32p, u32p, ctypes.c_uint64]),
+            ("lair_matmul_mod", [u32p, u32p, u32p, ctypes.c_uint64,
+                                 ctypes.c_uint64, ctypes.c_uint64])):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = argtypes
+    return lib.lair_ext_emul, lib.lair_ext_escale, lib.lair_matmul_mod
+
+
+def _u32p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def ext_emul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n, 4) x (n, 4) componentwise extension product (canonical u32)."""
+    emul_fn, _, _ = _ext_fns()
+    a = np.ascontiguousarray(a, np.uint32)
+    b = np.ascontiguousarray(b, np.uint32)
+    out = np.empty_like(a)
+    emul_fn(_u32p(a), _u32p(b), _u32p(out), a.shape[0])
+    return out
+
+
+def ext_escale(a: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """(n, 4) ext elements times (n,) base scalars."""
+    _, escale_fn, _ = _ext_fns()
+    a = np.ascontiguousarray(a, np.uint32)
+    s = np.ascontiguousarray(s, np.uint32)
+    out = np.empty_like(a)
+    escale_fn(_u32p(a), _u32p(s), _u32p(out), a.shape[0])
+    return out
+
+
+def matmul_mod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n,k) @ (k,m) mod p (128-bit accumulator, threaded over rows)."""
+    _, _, mm_fn = _ext_fns()
+    a = np.ascontiguousarray(a, np.uint32)
+    b = np.ascontiguousarray(b, np.uint32)
+    out = np.empty((a.shape[0], b.shape[1]), np.uint32)
+    mm_fn(_u32p(a), _u32p(b), _u32p(out), a.shape[0], a.shape[1],
+          b.shape[1])
+    return out
+
+
+@lru_cache(maxsize=1)
 def _ntt_fn():
     lib = _lib()
     u32p = ctypes.POINTER(ctypes.c_uint32)

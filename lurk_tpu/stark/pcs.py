@@ -43,7 +43,15 @@ def matmul_mod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
     Each split product term is < 2^47, so the int64 accumulator only holds
     sums of up to 2^16 terms; larger inner dimensions (e.g. coefficient
-    counts in eval_coeffs_at) are chunked and folded mod p."""
+    counts in eval_coeffs_at) are chunked and folded mod p. Large products
+    route through the threaded C++ kernel when available."""
+    if a.shape[0] * a.shape[1] >= (1 << 16):
+        from ..lair import native
+        if native.native_available():
+            try:
+                return native.matmul_mod(a, b).astype(U)
+            except Exception:
+                pass
     a = a.astype(np.int64)
     b = b.astype(np.int64)
     k = a.shape[1]
