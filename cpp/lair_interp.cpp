@@ -989,6 +989,87 @@ void lair_matmul_mod(const u32* a, const u32* b, u32* out, u64 n, u64 k,
   });
 }
 
+// u64-I/O variants of the extension kernels: numpy's ext arrays are
+// uint64, so reading/writing u64 directly avoids two full converting
+// copies per call.
+void lair_ext_emul64(const u64* a, const u64* b, u64* out, u64 n) {
+  constexpr u64 W = 11;
+  parallel_for(n, 1 << 12, [=](u64 lo, u64 hi) {
+    for (u64 r = lo; r < hi; r++) {
+      const u64* x = a + r * 4;
+      const u64* y = b + r * 4;
+      u64 c[7] = {0, 0, 0, 0, 0, 0, 0};
+      for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 4; j++)
+          c[i + j] += (u64)(u32)x[i] * (u32)y[j];
+      u64* o = out + r * 4;
+      for (int i = 0; i < 3; i++)
+        o[i] = (c[i] % P + W * (c[i + 4] % P)) % P;
+      o[3] = c[3] % P;
+    }
+  });
+}
+
+void lair_ext_escale64(const u64* a, const u64* s, u64* out, u64 n) {
+  parallel_for(n, 1 << 13, [=](u64 lo, u64 hi) {
+    for (u64 r = lo; r < hi; r++)
+      for (int i = 0; i < 4; i++)
+        out[r * 4 + i] = (a[r * 4 + i] * s[r]) % P;
+  });
+}
+
+void lair_ext_eadd64(const u64* a, const u64* b, u64* out, u64 n_elems) {
+  parallel_for(n_elems, 1 << 15, [=](u64 lo, u64 hi) {
+    for (u64 i = lo; i < hi; i++) out[i] = (a[i] + b[i]) % P;
+  });
+}
+
+// Row-wise scaling: out[r][c] = mat[r][c] * scales[r % n_scales] mod p
+// (n_scales == 1 broadcasts a constant). u64 I/O, threaded.
+void lair_scale_rows64(const u64* mat, const u64* scales, u64* out, u64 n,
+                       u64 w, u64 n_scales) {
+  parallel_for(n, 1 << 12, [=](u64 lo, u64 hi) {
+    for (u64 r = lo; r < hi; r++) {
+      u64 s = scales[n_scales == 1 ? 0 : r];
+      for (u64 c = 0; c < w; c++)
+        out[r * w + c] = (mat[r * w + c] * s) % P;
+    }
+  });
+}
+
+// Full sponge hashing of rows: each (w)-felt row absorbed in rate-8
+// chunks (zero-padded) through the width-16 permutation; out = (n, 8).
+void lair_hash_rows(const u32* consts, u64 consts_len, const u64* mat,
+                    u64 n, u64 w, u32* out) {
+  PoseidonCfg cfg;
+  Reader pr{consts, consts + consts_len};
+  cfg.width = pr.next();
+  cfg.r_f = pr.next();
+  cfg.r_p = pr.next();
+  cfg.full_rc.resize((size_t)cfg.r_f * cfg.width);
+  for (auto& x : cfg.full_rc) x = pr.next();
+  cfg.part_rc.resize(cfg.r_p);
+  for (auto& x : cfg.part_rc) x = pr.next();
+  cfg.diag.resize(cfg.width);
+  for (auto& x : cfg.diag) x = pr.next();
+  parallel_for(n, 64, [&, n, w](u64 lo, u64 hi) {
+    std::vector<u32> s(cfg.width);
+    for (u64 r = lo; r < hi; r++) {
+      std::fill(s.begin(), s.end(), 0);
+      if (w == 0) {
+        poseidon2(cfg, s.data());
+      } else {
+        for (u64 c = 0; c < w; c += 8) {
+          for (u64 j = 0; j < 8; j++)
+            s[j] = c + j < w ? (u32)(mat[r * w + c + j] % P) : 0;
+          poseidon2(cfg, s.data());
+        }
+      }
+      for (int j = 0; j < 8; j++) out[r * 8 + j] = s[j];
+    }
+  });
+}
+
 // In-place radix-2 DIT NTT stages over a (n, w) row-major matrix whose rows
 // were already bit-reverse permuted by the caller. `twiddles` is the
 // concatenation of per-stage canonical twiddle tables (stage s has 2^s

@@ -39,6 +39,14 @@ def from_scalar(t, shape=()):
 
 
 def eadd(a, b):
+    if (getattr(a, "size", 0) >= (1 << 15) and hasattr(b, "shape")
+            and a.shape == b.shape):
+        nat = _native()
+        if nat is not None:
+            try:
+                return nat.ext_eadd64(a, b)
+            except Exception:
+                pass
     return (a + b) % _P
 
 
@@ -63,7 +71,7 @@ def escale(a, s):
         nat = _native()
         if nat is not None:
             try:
-                return nat.ext_escale(a, s).astype(U)
+                return nat.ext_escale64(a, s)
             except Exception:
                 pass
     return (a * s[..., None]) % _P
@@ -75,7 +83,7 @@ def emul(a, b):
         nat = _native()
         if nat is not None:
             try:
-                return nat.ext_emul(a, b).astype(U)
+                return nat.ext_emul64(a, b)
             except Exception:
                 pass
     c = [np.zeros(np.broadcast_shapes(a.shape[:-1], b.shape[:-1]), U)

@@ -152,6 +152,14 @@ def intt(mat):
     out = ntt(mat, inverse=True)
     n_inv = bb.inv_s(n % bb.P)
     if isinstance(out, np.ndarray):
+        from ..lair import native
+        if out.size >= (1 << 16) and native.native_available():
+            try:
+                return native.scale_rows64(
+                    out.astype(np.uint64),
+                    np.uint64(n_inv)).astype(np.uint32)
+            except Exception:
+                pass
         return ((out.astype(np.uint64) * np.uint64(n_inv))
                 % np.uint64(bb.P)).astype(np.uint32)
     return bb.mont_mul(out, jnp.uint32((n_inv * bb.R_MOD_P) % bb.P))
@@ -180,6 +188,13 @@ def coset_eval(coeffs, log_blowup: int, shift: int = GENERATOR):
         padded = np.zeros((big_n, coeffs.shape[1]), np.uint64)
         padded[:n] = np.asarray(coeffs)
         sp = bb.np_from_mont(_shift_powers(big_log, shift)).astype(np.uint64)
+        from ..lair import native
+        if native.native_available():
+            try:
+                shifted = native.scale_rows64(padded, sp).astype(np.uint32)
+                return _ntt_np(shifted, False, big_log)
+            except Exception:
+                pass
         shifted = ((padded * sp[:, None]) % np.uint64(bb.P)).astype(np.uint32)
         return _ntt_np(shifted, False, big_log)
     padded = jnp.zeros((big_n, coeffs.shape[1]), jnp.uint32)

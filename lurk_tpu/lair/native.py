@@ -286,6 +286,82 @@ def matmul_mod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 @lru_cache(maxsize=1)
+def _ext64_fns():
+    lib = _lib()
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.lair_ext_emul64.restype = None
+    lib.lair_ext_emul64.argtypes = [u64p, u64p, u64p, ctypes.c_uint64]
+    lib.lair_ext_escale64.restype = None
+    lib.lair_ext_escale64.argtypes = [u64p, u64p, u64p, ctypes.c_uint64]
+    lib.lair_ext_eadd64.restype = None
+    lib.lair_ext_eadd64.argtypes = [u64p, u64p, u64p, ctypes.c_uint64]
+    lib.lair_scale_rows64.restype = None
+    lib.lair_scale_rows64.argtypes = [u64p, u64p, u64p, ctypes.c_uint64,
+                                      ctypes.c_uint64, ctypes.c_uint64]
+    lib.lair_hash_rows.restype = None
+    lib.lair_hash_rows.argtypes = [u32p, ctypes.c_uint64, u64p,
+                                   ctypes.c_uint64, ctypes.c_uint64, u32p]
+    return lib
+
+
+def _u64p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def ext_emul64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lib = _ext64_fns()
+    a = np.ascontiguousarray(a, np.uint64)
+    b = np.ascontiguousarray(b, np.uint64)
+    out = np.empty_like(a)
+    lib.lair_ext_emul64(_u64p(a), _u64p(b), _u64p(out), a.shape[0])
+    return out
+
+
+def ext_escale64(a: np.ndarray, s: np.ndarray) -> np.ndarray:
+    lib = _ext64_fns()
+    a = np.ascontiguousarray(a, np.uint64)
+    s = np.ascontiguousarray(s, np.uint64)
+    out = np.empty_like(a)
+    lib.lair_ext_escale64(_u64p(a), _u64p(s), _u64p(out), a.shape[0])
+    return out
+
+
+def ext_eadd64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lib = _ext64_fns()
+    a = np.ascontiguousarray(a, np.uint64)
+    b = np.ascontiguousarray(b, np.uint64)
+    out = np.empty_like(a)
+    lib.lair_ext_eadd64(_u64p(a), _u64p(b), _u64p(out), a.size)
+    return out
+
+
+def scale_rows64(mat: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """mat (n, w) * scales[r] (or a single broadcast scalar) mod p."""
+    lib = _ext64_fns()
+    mat = np.ascontiguousarray(mat, np.uint64)
+    scales = np.ascontiguousarray(np.atleast_1d(scales), np.uint64)
+    out = np.empty_like(mat)
+    lib.lair_scale_rows64(_u64p(mat), _u64p(scales), _u64p(out),
+                          mat.shape[0], mat.shape[1], scales.shape[0])
+    return out
+
+
+def hash_rows_native(width: int, mat: np.ndarray) -> np.ndarray:
+    """Full sponge over rows of (n, w) -> (n, 8) digests, all in C++."""
+    lib = _ext64_fns()
+    consts = _poseidon_consts_blob(width)
+    mat = np.ascontiguousarray(mat, np.uint64)
+    n = mat.shape[0]
+    w = mat.shape[1] if mat.ndim == 2 else 0
+    out = np.empty((n, 8), np.uint32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.lair_hash_rows(consts.ctypes.data_as(u32p), len(consts),
+                       _u64p(mat), n, w, out.ctypes.data_as(u32p))
+    return out
+
+
+@lru_cache(maxsize=1)
 def _ntt_fn():
     lib = _lib()
     u32p = ctypes.POINTER(ctypes.c_uint32)

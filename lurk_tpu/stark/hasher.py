@@ -43,6 +43,12 @@ def _np_threshold() -> int:
 
 
 def _hash_rows_np(mat: np.ndarray) -> np.ndarray:
+    from ..lair import native
+    if native.native_available():
+        try:
+            return native.hash_rows_native(WIDTH, mat)
+        except Exception:
+            pass  # stale library without the sponge entry point
     from ..poseidon.witness import permute_batch_host
     n, w = mat.shape
     state = np.zeros((n, WIDTH), np.uint64)
