@@ -1024,6 +1024,13 @@ void lair_ext_eadd64(const u64* a, const u64* b, u64* out, u64 n_elems) {
   });
 }
 
+// Batched Fermat inversion: out[i] = a[i]^(p-2) mod p (0 -> 0).
+void lair_batch_inv64(const u64* a, u64* out, u64 n) {
+  parallel_for(n, 1 << 10, [=](u64 lo, u64 hi) {
+    for (u64 i = lo; i < hi; i++) out[i] = fpow((u32)(a[i] % P), P - 2);
+  });
+}
+
 // Row-wise scaling: out[r][c] = mat[r][c] * scales[r % n_scales] mod p
 // (n_scales == 1 broadcasts a constant). u64 I/O, threaded.
 void lair_scale_rows64(const u64* mat, const u64* scales, u64* out, u64 n,

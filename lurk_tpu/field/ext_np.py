@@ -124,6 +124,13 @@ def einv(a):
 
 def batch_inv_base(a):
     a = np.asarray(a, U) % _P
+    if a.size >= (1 << 12):
+        nat = _native()
+        if nat is not None:
+            try:
+                return nat.batch_inv64(a)
+            except Exception:
+                pass
     result = np.ones_like(a)
     base = a.copy()
     e = bb.P - 2

@@ -296,6 +296,8 @@ def _ext64_fns():
     lib.lair_ext_escale64.argtypes = [u64p, u64p, u64p, ctypes.c_uint64]
     lib.lair_ext_eadd64.restype = None
     lib.lair_ext_eadd64.argtypes = [u64p, u64p, u64p, ctypes.c_uint64]
+    lib.lair_batch_inv64.restype = None
+    lib.lair_batch_inv64.argtypes = [u64p, u64p, ctypes.c_uint64]
     lib.lair_scale_rows64.restype = None
     lib.lair_scale_rows64.argtypes = [u64p, u64p, u64p, ctypes.c_uint64,
                                       ctypes.c_uint64, ctypes.c_uint64]
@@ -333,6 +335,16 @@ def ext_eadd64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     b = np.ascontiguousarray(b, np.uint64)
     out = np.empty_like(a)
     lib.lair_ext_eadd64(_u64p(a), _u64p(b), _u64p(out), a.size)
+    return out
+
+
+def batch_inv64(a: np.ndarray) -> np.ndarray:
+    """Elementwise a^(p-2) mod p (0 -> 0), threaded."""
+    lib = _ext64_fns()
+    a = np.ascontiguousarray(a, np.uint64)
+    out = np.empty_like(a)
+    lib.lair_batch_inv64(_u64p(a.reshape(-1)), _u64p(out.reshape(-1)),
+                         a.size)
     return out
 
 
