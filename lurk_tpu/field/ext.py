@@ -165,6 +165,17 @@ def epow_s(a, e: int):
 
 
 def einv_s(a):
+    """Scalar extension inverse via Frobenius conjugates: 2 ext muls + one
+    base-field inversion instead of a ~124-squaring ladder (epow to
+    p^4-2), which dominated the verifier's per-query quotient checks."""
     if all(x % bb.P == 0 for x in a):
         raise ZeroDivisionError("inverse of 0 in BabyBear^4")
-    return epow_s(a, bb.P ** 4 - 2)
+
+    def frob(x, k):
+        return tuple((x[i] * pow(_FROB_C, (i * k) % 4, bb.P)) % bb.P
+                     for i in range(4))
+
+    b = emul_s(frob(a, 1), emul_s(frob(a, 2), frob(a, 3)))
+    norm = emul_s(a, b)[0]
+    inv_norm = pow(int(norm), bb.P - 2, bb.P)
+    return tuple((x * inv_norm) % bb.P for x in b)

@@ -210,7 +210,9 @@ def _decode_record(toplevel, buf: np.ndarray, queries: QueryRecord):
     assert c.i == len(buf)
 
 
+@lru_cache(maxsize=1)
 def native_available() -> bool:
+    # cached: hot paths consult this per call and a stat() each time adds up
     return _LIB_PATH.exists()
 
 
