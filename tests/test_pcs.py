@@ -124,3 +124,18 @@ def test_open_rounds_large_height():
     cfg = FriConfig(1, 2, 1)
     proof = pcs.open_rounds([rnd], [[[zeta]]], cfg, ch)
     assert proof.fri_proof is not None
+
+
+def test_device_commit_matches_host():
+    """The one-jit device commit pipeline (LDE + Merkle root on device)
+    reproduces the host commitment bit-for-bit."""
+    from lurk_tpu.stark import device_pipeline, merkle
+    from lurk_tpu.field.ntt import lde as host_lde
+    rng = np.random.default_rng(99)
+    for log_h, w in ((6, 3), (8, 11)):
+        mat = rng.integers(0, bb.P, size=(1 << log_h, w), dtype=np.uint32)
+        dev_lde, dev_root = device_pipeline.commit_on_device(mat)
+        want_lde = np.asarray(host_lde(mat, 1))
+        assert np.array_equal(np.asarray(dev_lde), want_lde)
+        tree = merkle.commit([want_lde.astype(np.uint64)])
+        assert tuple(dev_root) == tuple(tree.root)
