@@ -15,7 +15,7 @@ programs, so the cost is rows-at-once numpy instead of per-row interpretation.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

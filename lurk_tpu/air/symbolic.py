@@ -16,7 +16,7 @@ permutation-trace evaluation on TPU (stark layer).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 from ..field.babybear import P
 

@@ -9,7 +9,6 @@ Entry points (reference: src/core/cli/mod.rs:29-152):
 from __future__ import annotations
 
 import argparse
-import sys
 
 
 def run(argv=None):

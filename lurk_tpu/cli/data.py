@@ -11,9 +11,9 @@ import os
 import pickle
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
-from ..core.zstore import ZPtr, ZStore, ATOM, TUPLE11, TUPLE110, DIGEST_SIZE
+from ..core.zstore import ZPtr, ZStore, ATOM, TUPLE11, TUPLE110
 from .. import __version__
 
 MAGIC = b"LURKTPU1"

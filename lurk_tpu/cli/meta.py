@@ -8,13 +8,13 @@ from __future__ import annotations
 
 import os
 import secrets as _secrets
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Callable, Dict, List
+from typing import Callable, Dict
 
 from ..core.state import Package
-from ..core.symbol import Symbol, builtin_sym
-from ..core.tag import Tag, InternalTag
+from ..core.symbol import builtin_sym
+from ..core.tag import Tag
 from ..core.zstore import ZPtr, DIGEST_SIZE
 from ..stark.challenger import Challenger
 from .data import (CommData, LurkData, ProtocolProof, commits_dir, dump_data,

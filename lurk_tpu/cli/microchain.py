@@ -19,7 +19,6 @@ import socketserver
 import struct
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, Optional, Tuple
 
 from ..core.tag import Tag
 from ..core.zstore import ZPtr, DIGEST_SIZE

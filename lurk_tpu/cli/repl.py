@@ -9,8 +9,6 @@ before reuse.
 
 from __future__ import annotations
 
-import os
-import sys
 from pathlib import Path
 from typing import Optional
 
@@ -18,8 +16,7 @@ from ..core.eval_direct import build_lurk_toplevel
 from ..core.parser import parse, SynMeta
 from ..core.state import State
 from ..core.stark_machine import new_machine, PRODUCTION_CONFIG
-from ..core.tag import Tag
-from ..core.zstore import ZPtr, ZStore, DIGEST_SIZE
+from ..core.zstore import ZPtr
 from ..lair.execute import QueryRecord, execute_by_name, EvalBail, LoopDetected
 from ..stark.challenger import Challenger
 from ..stark.fri import FriConfig

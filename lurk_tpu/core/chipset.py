@@ -6,11 +6,10 @@ chipsets), src/core/u64.rs, src/core/big_num.rs, src/gadgets/big_num/cmp.rs.
 
 from __future__ import annotations
 
-from typing import List
 
 import numpy as np
 
-from ..field.babybear import P, inv_s
+from ..field.babybear import P
 from ..air.symbolic import Const
 from ..gadgets import unsigned as ug
 from ..lair.execute import ByteRecordContext

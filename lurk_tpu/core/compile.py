@@ -19,7 +19,6 @@ from __future__ import annotations
 from enum import IntEnum
 
 from ..lair.dsl import FuncBuilder
-from ..lair.expr import CaseType
 from .tag import Tag, InternalTag, EvalErr
 
 

@@ -13,7 +13,6 @@ from typing import Optional, Tuple
 import os
 
 from ..lair.execute import QueryRecord, execute_by_name
-from .tag import Tag
 from .zstore import ZPtr, ZStore, DIGEST_SIZE
 
 

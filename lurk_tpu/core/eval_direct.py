@@ -12,7 +12,6 @@ from ..lair.toplevel import Toplevel
 from .chipset import lurk_chip_map
 from .ingress import SymbolsDigests, preallocate_symbols, ingress, egress
 from . import misc
-from .state import BUILTIN_SYMBOLS
 from .symbol import Symbol
 from .tag import Tag, InternalTag, EvalErr
 from .zstore import lurk_zstore

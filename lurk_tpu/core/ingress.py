@@ -9,7 +9,7 @@ digests at deterministic width-8 memory addresses (index+1).
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 from ..lair.dsl import FuncBuilder
 from .state import LURK_SYMBOLS, BUILTIN_SYMBOLS

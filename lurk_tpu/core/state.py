@@ -2,10 +2,9 @@
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
-from .symbol import (Symbol, lurk_sym, builtin_sym, meta_sym,
-                     LURK_PACKAGE_NAME, BUILTIN_PACKAGE_NAME,
+from .symbol import (Symbol, lurk_sym, builtin_sym, LURK_PACKAGE_NAME, BUILTIN_PACKAGE_NAME,
                      META_PACKAGE_NAME, USER_PACKAGE_NAME)
 
 LURK_SYMBOLS = ("nil", "t", "&rest")

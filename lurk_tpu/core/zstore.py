@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Tuple
 from ..poseidon import ref as pref
 from .symbol import Symbol, lurk_sym, builtin_sym
 from .state import State, BUILTIN_SYMBOLS
-from .tag import Tag, InternalTag, EvalErr
+from .tag import Tag, EvalErr
 
 DIGEST_SIZE = 8
 ZPTR_SIZE = 16

@@ -19,7 +19,7 @@ from typing import List
 import numpy as np
 
 from ..field.babybear import P, inv_s
-from ..air.symbolic import Const, Expr
+from ..air.symbolic import Const
 
 U = np.uint64
 _P = U(P)

@@ -13,7 +13,7 @@ Relations (reference: src/lair/relations.rs):
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 from ..air.symbolic import (Col, Const, Expr, RequireRecord, SymbolicBuilder)
 from . import bytecode as B

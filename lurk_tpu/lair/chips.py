@@ -4,7 +4,7 @@ src/lair/lair_chip.rs, src/lair/memory.rs, src/gadgets/bytes/trace.rs)."""
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -26,7 +26,7 @@ Example (the reference's demo factorial, src/lair/mod.rs:54-64):
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence, Tuple, Union
+from typing import Callable, Optional, Sequence, Tuple, Union
 
 from . import expr as E
 

@@ -13,14 +13,13 @@ import ctypes
 import os
 from functools import lru_cache
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 
 from ..poseidon.constants import get_config
 from . import native_codec
 from .columnar import ColumnarQueryMap
-from .execute import (IndexMap, QueryRecord, QueryResult, Record,
+from .execute import (QueryRecord, QueryResult, Record,
                       NUM_MEM_TABLES, MEM_TABLE_SIZES)
 
 _LIB_PATH = Path(__file__).resolve().parents[2] / "cpp" / "liblair.so"

@@ -14,16 +14,15 @@ Layout per row: [nonce | input | output | aux | sel].
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 from ..field.babybear import P
 from . import bytecode as B
-from .execute import Shard, QueryRecord
-from .func_chip import (LayoutSizes, compute_layout_sizes, DEPTH_W,
-                        DEPTH_LESS_THAN_SIZE, DEPTH_LT_NUM_REQUIRES)
+from .execute import Shard
+from .func_chip import (compute_layout_sizes, DEPTH_W,
+                        DEPTH_LT_NUM_REQUIRES)
 
 U = np.uint64
 _P = U(P)

@@ -11,7 +11,7 @@ eval_perm_at_point; the machine folds them after the base constraints):
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

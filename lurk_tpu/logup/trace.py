@@ -8,7 +8,7 @@ inversion) are O(rows * interactions) elementwise work.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

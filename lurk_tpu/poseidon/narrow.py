@@ -24,8 +24,7 @@ import numpy as np
 from ..air.symbolic import Expr, SymbolicBuilder
 from ..field.babybear import P
 from .constants import get_config
-from .witness import (U, _P, _ext_layer_arr, _int_layer_np, _ext_layer_np,
-                      _pow7_np)
+from .witness import (U, _P, _ext_layer_arr, _int_layer_np)
 
 __all__ = ["num_cols", "rounds", "generate_trace", "build_air"]
 

@@ -17,7 +17,7 @@ Layout notes:
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import numpy as np
 import jax

@@ -10,13 +10,12 @@ Two consumers of the symbolic AIR:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
 from ..field import babybear as bb
 from ..field import ext as ext_s
-from ..field import ext_np
 from ..air.symbolic import Add, Col, Const, Expr, Mul, Pub, Sel, Sub
 
 U = np.uint64
