@@ -120,6 +120,46 @@ CASES = [
     ("(let ((c (hide #0x1 123))) (secret c))",
      lambda z: z.intern_big_num((1, 0, 0, 0, 0, 0, 0, 0))),
     ("(bignum (commit 7))", None),  # just executes without error
+    # shadowing of builtins is allowed; nil/t/&rest binding is not
+    ("(let ((cons 1)) (+ cons 1))", lambda z: uint(2)),
+    ("(letrec ((cons 1)) (+ cons 1))", lambda z: uint(2)),
+    ("((lambda (cons) (+ cons 1)) 1)", lambda z: uint(2)),
+    ("(let ((&rest 1)) &rest)", lambda z: uint(1)),
+    ("(let ((nil 1)) (+ nil 1))",
+     lambda z: ZPtr.err(EvalErr.IllegalBindingVar)),
+    ("(letrec ((t 1)) (+ t 1))",
+     lambda z: ZPtr.err(EvalErr.IllegalBindingVar)),
+    ("((lambda (t) (+ t 1)) 1)",
+     lambda z: ZPtr.err(EvalErr.IllegalBindingVar)),
+    # &rest parameter-list errors
+    ("((lambda (x &rest) x) 1)",
+     lambda z: ZPtr.err(EvalErr.ParamInvalidRest)),
+    ("((lambda (x &rest y z) x) 1)",
+     lambda z: ZPtr.err(EvalErr.ParamInvalidRest)),
+    # invalid forms
+    ("(let ((a 1)))", lambda z: ZPtr.err(EvalErr.InvalidForm)),
+    ("(letrec ((a 1)))", lambda z: ZPtr.err(EvalErr.InvalidForm)),
+    ("(lambda (x))", lambda z: ZPtr.err(EvalErr.InvalidForm)),
+    # arithmetic errors
+    ("(/ 1n 0n)", lambda z: ZPtr.err(EvalErr.DivByZero)),
+    ("(/ 1 0)", lambda z: ZPtr.err(EvalErr.DivByZero)),
+    ("(= 'a 'a)", lambda z: ZPtr.err(EvalErr.InvalidArg)),
+    # big-num comparisons and conversions
+    ("(>= #0x1 #0x1)", lambda z: z.t),
+    ("(<= #0x2 #0x1)", lambda z: z.nil),
+    ("(> #0x2 #0x1)", lambda z: z.t),
+    ("(< #0x1 #0x1)", lambda z: z.nil),
+    ("(= #0x0 #0x0)", lambda z: z.t),
+    ("(= #0x0 #0x1)", lambda z: z.nil),
+    ("(eq #0x1 #0x1)", lambda z: z.t),
+    ("(comm #0x0)", lambda z: ZPtr(Tag.Comm, (0,) * 8)),
+    ("(bignum #c0x0)", lambda z: ZPtr(Tag.BigNum, (0,) * 8)),
+    # hide secret must be a big num
+    ("(hide (commit 321) 123)",
+     lambda z: ZPtr.err(EvalErr.NotBigNum)),
+    # breakpoint passthrough
+    ("(breakpoint)", lambda z: z.nil),
+    ("(breakpoint (+ 1 1))", lambda z: uint(2)),
 ]
 
 
