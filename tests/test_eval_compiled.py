@@ -97,6 +97,32 @@ CASES = [
     ("(u64 \"x\")", "<Err CantCastToU64>"),
     ("(+ 'a' 1)", "<Err InvalidArg>"),
     ("(% 1n 2n)", "<Err NotU64>"),
+    # shadowing and binder rules (reference: tests/eval_compiled.rs)
+    ("(let ((cons 1)) (+ cons 1))", "2"),
+    ("(letrec ((cons 1)) (+ cons 1))", "2"),
+    ("((lambda (cons) (+ cons 1)) 1)", "2"),
+    ("(let ((&rest 1)) &rest)", "1"),
+    ("(let ((a 1)))", "<Err InvalidForm>"),
+    ("(letrec ((a 1)))", "<Err InvalidForm>"),
+    ("(lambda (x))", "<Err InvalidForm>"),
+    # eq family
+    ("(eq :a :a)", "t"),
+    ("(eq 'a 'b)", "nil"),
+    ("(eq nil nil)", "t"),
+    ("(eq t nil)", "nil"),
+    ("(eq 'a' 'a')", "t"),
+    ("(eq \"abc\" \"abd\")", "nil"),
+    ("(eq (cons :a 1) (cons :a 1))", "t"),
+    ("(eq 1n 0n)", "nil"),
+    # big-num order family
+    ("(>= #0x1 #0x1)", "t"),
+    ("(<= #0x2 #0x1)", "nil"),
+    ("(> #0x2 #0x1)", "t"),
+    ("(< #0x0 #0x1)", "t"),
+    ("(= #0x0 #0x0)", "t"),
+    ("(comm #0x0)", "#c0x0"),
+    ("(= 'a 'a)", "<Err InvalidArg>"),
+    ("(hide (commit 321) 123)", "<Err NotBigNum>"),
 ]
 
 
@@ -107,6 +133,16 @@ def test_compiled_eval(toplevel, src, want):
     res, _q = evaluate(tl, zs, src, use_native=False)
     if want is not None:
         assert zs.fmt(res) == want, (src, zs.fmt(res))
+
+
+def test_compiled_bignum_unop_unsupported(toplevel):
+    """Reference gap, preserved: eval_unop has no Op::Bignum branch
+    (eval_compiled.rs:370-446 lists Car..Char only), so `(bignum x)`
+    crashes the interpreter rather than producing a value or an Err."""
+    tl, zstore, _ = toplevel
+    zs = copy.deepcopy(zstore)
+    with pytest.raises(AssertionError, match="No match"):
+        evaluate(tl, zs, "(bignum #c0x0)", use_native=False)
 
 
 def test_compiled_matches_direct_on_core_programs(toplevel):
