@@ -75,3 +75,76 @@ def test_name_conflict_rejected():
         b.ret(b.input("t1"), b.input("p1"))
         build_lurk_toplevel(Lang(coroutines={
             _user_sym("clash"): Coroutine(1, False, b.build())}))
+
+
+class SquareGadget:
+    """Custom extern gadget: out = in^2 with the square witnessed
+    (reference: src/core/tests/lang_direct.rs SquareGadget)."""
+    input_size = 1
+    output_size = 1
+    witness_size = 1
+    require_size = 0
+
+    def execute(self, inp, nonce, queries, requires):
+        import lurk_tpu.field.babybear as bb
+        return ((int(inp[0]) * int(inp[0])) % bb.P,)
+
+    def populate_witness_batch(self, inp):
+        import numpy as np
+        import lurk_tpu.field.babybear as bb
+        sq = (inp[:, 0].astype(np.uint64) ** 2) % np.uint64(bb.P)
+        w = sq[:, None]
+        return w, w
+
+    def eval(self, builder, is_real, inp, witness, nonce, requires):
+        builder.assert_eq(inp[0] * inp[0], witness[0])
+        return [witness[0]]
+
+
+def _co_square():
+    from lurk_tpu.core.tag import Tag
+    b = FuncBuilder("co_square", ["num_tag", "num"], 2)
+    num_tag = b.input("num_tag")
+    num = b.input("num")
+
+    def num_case(bb):
+        sq, = bb.extern_call("square_gadget", num, out_sizes=(1,))
+        bb.ret(num_tag, sq)
+
+    def other(bb):
+        err_tag = bb.const(Tag.Err)
+        from lurk_tpu.core.tag import EvalErr
+        err = bb.const(EvalErr.InvalidArg)
+        bb.ret(err_tag, err)
+    b.match(num_tag, [(int(Tag.Num), num_case)], default=other)
+    return b.build()
+
+
+@pytest.fixture(scope="module")
+def gadget_toplevel():
+    lang = Lang(
+        coroutines={_user_sym("extern-square"): Coroutine(1, False,
+                                                          _co_square())},
+        gadgets={"square_gadget": SquareGadget()})
+    return build_lurk_toplevel(lang)
+
+
+def test_custom_gadget_coroutine(gadget_toplevel):
+    tl, zstore, _ = gadget_toplevel
+    zs = copy.deepcopy(zstore)
+    res, _q = evaluate(tl, zs, "(extern-square 3n)", use_native=False)
+    assert zs.fmt(res) == "9n"
+    res, _q = evaluate(tl, zs, "(extern-square :nope)", use_native=False)
+    assert "Err" in zs.fmt(res)
+
+
+def test_custom_gadget_machine_consistency(gadget_toplevel):
+    from lurk_tpu.lair.chips import build_lair_chip_vector, debug_chips
+    from lurk_tpu.lair.trace import FuncChip
+    tl, zstore, _ = gadget_toplevel
+    zs = copy.deepcopy(zstore)
+    res, q = evaluate(tl, zs, "(extern-square (extern-square 2n))",
+                      use_native=False)
+    assert zs.fmt(res) == "16n"
+    chips = build_lair_chip_vector(FuncChip.from_name("lurk_main", tl))
+    debug_chips(q, chips)
