@@ -1,22 +1,25 @@
 """Persistable Lurk data: ZDag slices, commitment data, proof objects, paths.
 
 Reference: src/core/cli/{zdag,comm_data,proofs,paths,config}.rs. The wire
-format here is python pickle wrapped with a magic/version header (the
-reference uses bincode; the format itself is implementation-defined).
-"""
+format is the data-only codec in utils/codec.py wrapped with a magic/version
+header (the reference uses bincode for the same reason: proofs and
+commitments arrive from untrusted parties and must never execute code on
+load — ADVICE.md round-1 findings)."""
 
 from __future__ import annotations
 
 import os
-import pickle
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, Tuple
 
 from ..core.zstore import ZPtr, ZStore, ATOM, TUPLE11, TUPLE110
+from ..utils import codec
 from .. import __version__
 
-MAGIC = b"LURKTPU1"
+MAGIC = b"LURKTPU2"
+
+codec.register(ZPtr)
 
 
 def dump_data(obj, path):
@@ -24,13 +27,15 @@ def dump_data(obj, path):
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
         f.write(MAGIC)
-        pickle.dump(obj, f)
+        f.write(codec.encode(obj))
 
 
 def load_data(path):
     with open(path, "rb") as f:
-        assert f.read(len(MAGIC)) == MAGIC, "bad file magic"
-        return pickle.load(f)
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise codec.CodecError(f"bad file magic in {path}")
+        return codec.decode(f.read())
 
 
 # ---------------------------------------------------------------------------
@@ -64,6 +69,7 @@ def repl_history_path() -> Path:
 # ZDag (reference: src/core/cli/zdag.rs)
 # ---------------------------------------------------------------------------
 
+@codec.register
 @dataclass
 class ZDag:
     entries: Dict[ZPtr, tuple] = field(default_factory=dict)
@@ -108,6 +114,7 @@ class ZDag:
         return False
 
 
+@codec.register
 @dataclass
 class LurkData:
     """A ZPtr plus the DAG needed to interpret it (reference:
@@ -133,6 +140,7 @@ class LurkData:
 # CommData (reference: src/core/cli/comm_data.rs)
 # ---------------------------------------------------------------------------
 
+@codec.register
 @dataclass
 class CommData:
     secret: Tuple[int, ...]
@@ -166,6 +174,7 @@ def get_verifier_version() -> str:
     return __version__
 
 
+@codec.register
 @dataclass
 class CryptoProof:
     machine_proof: object            # stark.machine.MachineProof
@@ -192,6 +201,7 @@ class CryptoProof:
         return self.verifier_version == get_verifier_version()
 
 
+@codec.register
 @dataclass
 class CachedProof:
     crypto_proof: CryptoProof
@@ -215,6 +225,7 @@ class CachedProof:
                                                     self.result)
 
 
+@codec.register
 @dataclass
 class ProtocolProof:
     crypto_proof: CryptoProof

@@ -7,12 +7,13 @@ empty env reduces to `(next_result . next_callable)`; the server verifies the
 proof (and the verifier version), persists an OpaqueChainProof, and advances
 the state.
 
-Wire format: 4-byte big-endian length + pickled message dict.
+Wire format: 4-byte big-endian length + data-only codec payload (see
+utils/codec.py). Never unpickle untrusted bytes: the reference uses bincode
+for the same reason (ADVICE.md round-1 high finding).
 """
 
 from __future__ import annotations
 
-import pickle
 import secrets as _secrets
 import socket
 import socketserver
@@ -21,11 +22,13 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from ..core.tag import Tag
+from ..utils import codec
 from ..core.zstore import ZPtr, DIGEST_SIZE
 from ..stark.challenger import Challenger
 from .data import CommData, LurkData, ZDag, dump_data, load_data, microchains_dir
 
 
+@codec.register
 @dataclass
 class ChainState:
     chain_result: LurkData
@@ -37,6 +40,7 @@ class ChainState:
         return zstore.intern_cons(result, callable_)
 
 
+@codec.register
 @dataclass
 class ChainProof:
     crypto_proof: object
@@ -45,6 +49,7 @@ class ChainProof:
     next_callable: LurkData
 
 
+@codec.register
 @dataclass
 class OpaqueChainProof:
     crypto_proof: object
@@ -54,8 +59,11 @@ class OpaqueChainProof:
 
 
 def _send(sock, obj):
-    payload = pickle.dumps(obj)
+    payload = codec.encode(obj)
     sock.sendall(struct.pack(">I", len(payload)) + payload)
+
+
+MAX_MESSAGE_BYTES = 1 << 30
 
 
 def _recv(sock):
@@ -63,10 +71,15 @@ def _recv(sock):
     if header is None:
         return None
     (length,) = struct.unpack(">I", header)
+    if length > MAX_MESSAGE_BYTES:
+        return None
     payload = _read_exact(sock, length)
     if payload is None:
         return None
-    return pickle.loads(payload)
+    try:
+        return codec.decode(payload)
+    except codec.CodecError:
+        return None
 
 
 def _read_exact(sock, n):
@@ -102,6 +115,8 @@ class MicrochainServer:
     # -- request handling --------------------------------------------------
 
     def handle(self, req: dict) -> dict:
+        if not isinstance(req, dict):
+            return {"kind": "error", "error": "malformed request"}
         kind = req.get("kind")
         try:
             if kind == "start":

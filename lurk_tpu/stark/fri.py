@@ -20,6 +20,7 @@ from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
+from ..utils import codec
 from ..field import babybear as bb
 from ..field import ext_np as E
 from ..field.ntt import GENERATOR
@@ -92,17 +93,20 @@ def _pair_matrix(cw: np.ndarray) -> np.ndarray:
     return np.concatenate([cw[:half], cw[half:]], axis=1)  # (N/2, 8)
 
 
+@codec.register
 @dataclass
 class FriQueryStep:
     pair_row: list              # 8 base values: [f(x) | f(-x)] flattened
     path: list                  # sibling digests
 
 
+@codec.register
 @dataclass
 class FriQuery:
     steps: List[FriQueryStep]
 
 
+@codec.register
 @dataclass
 class FriProof:
     layer_roots: List[tuple]
@@ -175,6 +179,15 @@ def verify(proof: FriProof, config: FriConfig, max_log: int,
     num_layers = max_log - config.log_blowup
     if len(proof.layer_roots) != num_layers:
         return False
+    # Shape checks BEFORE any per-query work: a proof with missing queries
+    # or truncated fold steps must be rejected outright, not silently
+    # zip-truncated (ADVICE.md round-1 high finding).
+    if len(proof.queries) != config.num_queries:
+        return False
+    if len(proof.query_indices) != config.num_queries:
+        return False
+    if any(len(q.steps) != num_layers for q in proof.queries):
+        return False
     betas = []
     for root in proof.layer_roots:
         challenger.observe_many(root)
@@ -189,7 +202,8 @@ def verify(proof: FriProof, config: FriConfig, max_log: int,
 
     for qi, (q, query) in enumerate(zip(indices, proof.queries)):
         v = input_value_fn(max_log, q, qi)
-        assert v is not None, "missing input codeword at max size"
+        if v is None:
+            return False
         v = tuple(int(x) for x in v)
         idx = q
         log_n = max_log

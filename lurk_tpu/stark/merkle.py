@@ -15,6 +15,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
+from ..utils import codec
 from . import hasher
 
 Digest = Tuple[int, ...]
@@ -69,6 +70,7 @@ def commit(matrices: Sequence[np.ndarray]) -> MerkleTree:
     return MerkleTree(mats, order, levels, root)
 
 
+@codec.register
 @dataclass
 class Opening:
     rows: List[list]                    # per matrix (original order)

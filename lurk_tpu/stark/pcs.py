@@ -24,12 +24,14 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..utils import codec
 from ..field import babybear as bb
 from ..field import ext_np as E
 from ..field import ext as ext_s
 from ..field.ntt import GENERATOR, intt, lde as ntt_lde
 from . import fri, merkle
 from .challenger import Challenger
+from .errors import VerificationError
 from .fri import FriConfig, geom_powers
 
 U = np.uint64
@@ -161,6 +163,7 @@ def ext_powers_from(alpha, start: int, count: int) -> np.ndarray:
     return E.emul(ext_powers(alpha, count), E.from_scalar(base, (1,)))
 
 
+@codec.register
 @dataclass
 class PcsProof:
     # opened values: [round][matrix][point] -> list of ext tuples (per col)
@@ -241,7 +244,11 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
     """roots[r] = per-round roots (height desc); widths/trace_log_heights
     describe each round's matrices (trace heights; LDE adds LOG_BLOWUP)."""
     opened = proof.opened
+    if len(opened) != len(points):
+        return False
     for rv, rnd_points in zip(opened, points):
+        if len(rv) != len(rnd_points):
+            return False
         for mv, pts in zip(rv, rnd_points):
             if len(mv) != len(pts):
                 return False
@@ -288,10 +295,14 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
             for m, w in enumerate(widths[r]):
                 if lde_lhs[r][m] != log_n:
                     continue
-                assert entry_rows is not None
+                if entry_rows is None:
+                    raise VerificationError("missing query opening group")
                 midxs, opening = entry_rows
+                if group_pos[m] >= len(opening.rows):
+                    raise VerificationError("opening rows truncated")
                 row = [int(x_) % bb.P for x_ in opening.rows[group_pos[m]]]
-                assert len(row) == w
+                if len(row) != w:
+                    raise VerificationError("opened row width mismatch")
                 row_arr = np.asarray(row, U)
                 for z, apows, y_alpha in pts_cache[(r, m)]:
                     fx = tuple(int(v) for v in
@@ -303,6 +314,8 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
         return total
 
     # verify merkle openings for every query
+    if len(proof.query_openings) != len(proof.fri_proof.query_indices):
+        return False
     for q_ordinal, q in enumerate(proof.fri_proof.query_indices):
         per_round = proof.query_openings[q_ordinal]
         if len(per_round) != len(roots):
@@ -320,8 +333,11 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
                 if not merkle.verify_opening(root, heights, idx, opening):
                     return False
 
-    return fri.verify(proof.fri_proof, config, max_log, input_value_fn,
-                      challenger)
+    try:
+        return fri.verify(proof.fri_proof, config, max_log, input_value_fn,
+                          challenger)
+    except VerificationError:
+        return False
 
 
 def _domain_point(log_H: int, index: int) -> int:
