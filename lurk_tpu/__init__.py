@@ -22,27 +22,35 @@ Layer map (mirrors SURVEY.md section 1, re-architected for JAX/XLA/Pallas):
 __version__ = "0.1.0"
 
 
-def _enable_xla_cache():
-    """Persistent XLA compilation cache: the prover jits one kernel per
-    (height-class, width) shape, so repeated proving sessions would
-    otherwise pay the full compile tax every process start. Opt in with
-    LURK_TPU_XLA_CACHE=1 (default dir) or a directory path. Off by
-    default: jax 0.9's CPU AOT loader logs machine-feature mismatch
-    warnings (and threatens SIGILL) when reloading its own cache entries,
-    so the ~15% prove-time saving isn't worth it unasked."""
+_xla_cache_state = "unset"
+
+
+def maybe_enable_xla_cache():
+    """Persistent XLA compilation cache. The prover jits one kernel per
+    (height-class, width) shape; on TPU a fresh compile can cost tens of
+    seconds, so the cache is enabled by default there (first device-path
+    use calls this). CPU stays opt-in: jax 0.9's CPU AOT loader logs
+    machine-feature mismatch warnings (and threatens SIGILL) when
+    reloading its own cache entries. LURK_TPU_XLA_CACHE=0 disables, =1 or
+    a path forces on (any backend)."""
+    global _xla_cache_state
+    if _xla_cache_state != "unset":
+        return
     import os
     val = os.environ.get("LURK_TPU_XLA_CACHE", "")
-    if val in ("", "0"):
+    if val == "0":
+        _xla_cache_state = "off"
         return
-    path = val if val != "1" else os.path.join(
-        os.path.expanduser("~"), ".cache", "lurk_tpu", "xla")
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
+        if val == "" and jax.default_backend() == "cpu":
+            _xla_cache_state = "off"
+            return
+        path = val if val not in ("", "1") else os.path.join(
+            os.path.expanduser("~"), ".cache", "lurk_tpu", "xla")
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _xla_cache_state = "on"
     except Exception:
-        pass  # cache is an optimization, never a requirement
-
-
-_enable_xla_cache()
+        _xla_cache_state = "off"  # an optimization, never a requirement

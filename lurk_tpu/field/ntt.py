@@ -64,21 +64,85 @@ def _bitrev_perm(log_n: int):
     return rev
 
 
-@partial(jax.jit, static_argnames=("log_n",))
-def _ntt_kernel(mat, perm, twiddles, log_n: int):
+@lru_cache(maxsize=None)
+def _cg_tables(log_n: int, inverse: bool):
+    """Constant-shape dataflow tables for the device NTT.
+
+    The classic iterative DIT kernel reshapes to a different block shape
+    per stage, so jitting it unrolls log_n distinct stages — XLA compile
+    time on TPU grows catastrophically with the graph (435s for log_n=17
+    measured on v5e). Instead every stage becomes the SAME jit graph:
+    gather rows by a per-stage index table G[s], butterfly the two halves
+    against twiddle row W[s], write back by concatenation. The stage loop
+    is a lax.fori_loop over s with G/W as data, so compile cost is O(1)
+    in log_n. Bit-exact vs the host reference (tests/test_ntt.py).
+
+    Returns (init_perm (n,), out_perm (n,), G (log_n, n), W (log_n, n/2)).
+    """
     n = 1 << log_n
-    x = mat[perm]  # bit-reversed input -> natural-order output
+    half = n // 2
+    stages = _stage_twiddles(log_n, inverse)
+    sigma = np.arange(n, dtype=np.int64)      # u_0 = bit-reversed input
+    G = np.empty((log_n, n), np.int32)
+    W = np.empty((log_n, half), np.uint32)
     for s in range(log_n):
         m = 1 << s
-        tw = twiddles[s]  # (m,) mont form
-        blocks = x.reshape(n // (2 * m), 2, m, -1)
-        a = blocks[:, 0]
-        b_ = blocks[:, 1]
-        tb = bb.mont_mul(b_, tw[None, :, None])
-        top = bb.fadd(a, tb)
-        bot = bb.fsub(a, tb)
-        x = jnp.stack([top, bot], axis=1).reshape(n, -1)
-    return x
+        k = np.arange(half, dtype=np.int64)
+        i_k = (k // m) * 2 * m + (k % m)      # standard plus-positions
+        inv = np.argsort(sigma)
+        G[s, :half] = inv[i_k]
+        G[s, half:] = inv[i_k + m]
+        W[s] = stages[s][i_k % m]
+        nxt = np.empty(n, np.int64)
+        nxt[:half] = i_k
+        nxt[half:] = i_k + m
+        sigma = nxt
+    out_perm = np.argsort(sigma).astype(np.int32)
+    return (_bitrev_perm(log_n).astype(np.int32), out_perm, G, W)
+
+
+@lru_cache(maxsize=None)
+def cg_tables_dev(log_n: int, inverse: bool):
+    """Device-resident copies of the _cg_tables arrays (uploaded once).
+
+    MUST be first-called outside any jit trace (jnp.asarray inside a trace
+    would cache a tracer); eager entry points fetch these and pass them as
+    arguments into the jitted kernels."""
+    from .. import maybe_enable_xla_cache
+    maybe_enable_xla_cache()
+    init_perm, out_perm, G, W = _cg_tables(log_n, inverse)
+    return (jnp.asarray(init_perm), jnp.asarray(out_perm),
+            jnp.asarray(G), jnp.asarray(W))
+
+
+def device_ntt(x, log_n: int, inverse: bool, tables=None):
+    """Traceable NTT body (for use inside larger jits): fori_loop over
+    constant-shape stages. Inside a jit, `tables` must be passed in as an
+    argument pytree (fetch with cg_tables_dev before tracing)."""
+    if log_n == 0:
+        return x
+    if tables is None:
+        tables = cg_tables_dev(log_n, inverse)
+    init_perm, out_perm, G, W = tables
+    half = 1 << (log_n - 1)
+    x = x[init_perm]
+
+    def body(s, x):
+        g_row = jax.lax.dynamic_index_in_dim(G, s, 0, keepdims=False)
+        w_row = jax.lax.dynamic_index_in_dim(W, s, 0, keepdims=False)
+        xg = x[g_row]
+        a = xg[:half]
+        b_ = xg[half:]
+        tb = bb.mont_mul(b_, w_row[:, None])
+        return jnp.concatenate([bb.fadd(a, tb), bb.fsub(a, tb)], axis=0)
+
+    x = jax.lax.fori_loop(0, log_n, body, x)
+    return x[out_perm]
+
+
+@partial(jax.jit, static_argnames=("log_n",))
+def _ntt_kernel(mat, tables, log_n: int):
+    return device_ntt(mat, log_n, False, tables)
 
 
 # below this many rows, host numpy beats device dispatch + per-shape
@@ -139,9 +203,7 @@ def ntt(mat, inverse: bool = False):
         return jnp.asarray(mat)
     if not isinstance(mat, jnp.ndarray) and n <= _np_threshold():
         return _ntt_np(np.asarray(mat), inverse, log_n)
-    perm = jnp.asarray(_bitrev_perm(log_n))
-    tw = tuple(jnp.asarray(t) for t in _stage_twiddles(log_n, inverse))
-    return _ntt_kernel(jnp.asarray(mat), perm, tw, log_n)
+    return _ntt_kernel(jnp.asarray(mat), cg_tables_dev(log_n, inverse), log_n)
 
 
 def intt(mat):

@@ -24,27 +24,12 @@ import jax
 import jax.numpy as jnp
 
 from ..field import babybear as bb
-from ..field.ntt import (GENERATOR, _bitrev_perm, _shift_powers,
-                         _stage_twiddles)
+from ..field.ntt import (GENERATOR, _shift_powers, cg_tables_dev,
+                         device_ntt as _device_ntt)
 from ..poseidon import perm as pperm
 from .hasher import WIDTH, RATE, DIGEST
 
 LOG_BLOWUP = 1
-
-
-def _device_ntt(x, log_n: int, inverse: bool):
-    n = 1 << log_n
-    x = x[jnp.asarray(_bitrev_perm(log_n))]
-    for s in range(log_n):
-        m = 1 << s
-        tw = jnp.asarray(_stage_twiddles(log_n, inverse)[s])
-        blocks = x.reshape(n // (2 * m), 2, m, -1)
-        a = blocks[:, 0]
-        b_ = blocks[:, 1]
-        tb = bb.mont_mul(b_, tw[None, :, None])
-        x = jnp.stack([bb.fadd(a, tb), bb.fsub(a, tb)],
-                      axis=1).reshape(n, -1)
-    return x
 
 
 def _device_hash_rows(mat):
@@ -67,7 +52,7 @@ def _device_compress(level):
 
 
 @partial(jax.jit, static_argnames=("log_h",))
-def _commit_kernel(trace, log_h: int):
+def _commit_kernel(trace, intt_tables, ntt_tables, sp, log_h: int):
     """(2^log_h, w) trace evals -> (lde on the blowup-2 coset, Merkle root).
 
     Matches the host pipeline bit-for-bit: intt -> shifted coset NTT ->
@@ -76,15 +61,14 @@ def _commit_kernel(trace, log_h: int):
     big_log = log_h + LOG_BLOWUP
     big_n = 1 << big_log
     # interpolate
-    coeffs = _device_ntt(trace, log_h, inverse=True)
+    coeffs = _device_ntt(trace, log_h, True, intt_tables)
     n_inv = bb.inv_s(n % bb.P)
     coeffs = bb.mont_mul(coeffs, jnp.uint32((n_inv * bb.R_MOD_P) % bb.P))
     # blow up on the shifted coset
     padded = jnp.zeros((big_n, trace.shape[1]), jnp.uint32)
     padded = padded.at[:n].set(coeffs)
-    sp = jnp.asarray(_shift_powers(big_log, GENERATOR))
     lde = _device_ntt(bb.mont_mul(padded, sp[:, None]), big_log,
-                      inverse=False)
+                      False, ntt_tables)
     # merkle
     level = _device_hash_rows(lde)
     for _ in range(big_log):
@@ -97,5 +81,9 @@ def commit_on_device(trace) -> tuple:
     trace = jnp.asarray(trace, jnp.uint32)
     log_h = int(trace.shape[0]).bit_length() - 1
     assert 1 << log_h == trace.shape[0]
-    lde, root = _commit_kernel(trace, log_h)
+    big_log = log_h + LOG_BLOWUP
+    lde, root = _commit_kernel(trace, cg_tables_dev(log_h, True),
+                               cg_tables_dev(big_log, False),
+                               jnp.asarray(_shift_powers(big_log, GENERATOR)),
+                               log_h)
     return lde, tuple(int(x) for x in np.asarray(root))
