@@ -182,6 +182,36 @@ class Repl:
             self._pending = ""
         return result
 
+    def intern_syntax(self, syn, path: Path) -> ZPtr:
+        """Reference-parity syntax interning: meta forms nested inside an
+        expression RUN their command and splice the returned value, e.g.
+        `!(defq s1 !(transition s0 :foo))` (reference repl.rs:524-534)."""
+        from lurk_tpu.core.parser import SynList, SynImproper, SynQuote
+        if isinstance(syn, SynMeta):
+            name = syn.sym.name()
+            cmd = self.meta_cmds.get(name)
+            if cmd is None:
+                raise ReplError(f"Unknown meta command: {name}")
+            args = self.zstore.intern_list(
+                [self.intern_syntax(a, path) for a in syn.args])
+            result = cmd.run(self, args, path)
+            if result is None:
+                raise ReplError(
+                    f"Meta command {name} returned no value in expression "
+                    "position")
+            return result
+        if isinstance(syn, SynList):
+            return self.zstore.intern_list(
+                [self.intern_syntax(x, path) for x in syn.items])
+        if isinstance(syn, SynImproper):
+            return self.zstore.intern_list(
+                [self.intern_syntax(x, path) for x in syn.items],
+                self.intern_syntax(syn.tail, path))
+        if isinstance(syn, SynQuote):
+            return self.zstore.intern_list(
+                [self.zstore.quote, self.intern_syntax(syn.inner, path)])
+        return self.zstore.intern_syntax(syn)
+
     def _process_syntax(self, syn, path: Path):
         if isinstance(syn, SynMeta):
             name = syn.sym.name()
@@ -189,9 +219,9 @@ class Repl:
             if cmd is None:
                 raise ReplError(f"Unknown meta command: {name}")
             args = self.zstore.intern_list(
-                [self.zstore.intern_syntax(a) for a in syn.args])
+                [self.intern_syntax(a, path) for a in syn.args])
             return cmd.run(self, args, path)
-        expr = self.zstore.intern_syntax(syn)
+        expr = self.intern_syntax(syn, path)
         return self.handle_non_meta(expr)
 
     def load_file(self, path, demo: bool = False):

@@ -25,7 +25,7 @@ def repl(tmp_path, monkeypatch):
     "demo/bank.lurk",
     "demo/mastermind.lurk",
     "demo/protocol.lurk",
-    "lib/util-test.lurk",
+    "lib/tests.lurk",
 ])
 def test_corpus_file(repl, rel):
     repl.load_file(REPO / rel)
