@@ -28,6 +28,10 @@ class MemChip:
         self.name = f"Mem[{length}-wide]"
         self.preprocessed_width = 0
 
+    def num_rows(self, shard: Shard) -> int:
+        return max(len(shard.queries.mem_queries[
+            mem_index_from_len(self.len)]), 4)
+
     def generate_trace(self, shard: Shard) -> np.ndarray:
         mem = shard.queries.mem_queries[mem_index_from_len(self.len)]
         height = max(next_power_of_two(len(mem)), 4)
@@ -58,6 +62,9 @@ class BytesChip:
         self.width = lair_air.BYTES_MAIN_WIDTH
         self.preprocessed_width = lair_air.BYTES_PREPROCESSED_WIDTH
         self.name = "Bytes"
+
+    def num_rows(self, shard: Shard) -> int:
+        return 1 << 16
 
     def generate_trace(self, shard: Shard) -> np.ndarray:
         record = shard.queries.bytes if shard.index == 0 else BytesRecord()
@@ -103,6 +110,9 @@ class EntrypointChip:
         self.width = self.num_public_values
         self.preprocessed_width = 0
         self.name = f"Entrypoint[{self.func_idx}]"
+
+    def num_rows(self, shard: Shard) -> int:
+        return 1
 
     def generate_trace(self, shard: Shard) -> np.ndarray:
         pv = shard.expect_public_values()

@@ -246,7 +246,9 @@ def execute(toplevel, func: B.Func, args, queries: QueryRecord,
     """Run `func` on `args`, memoizing into `queries`. Returns the output
     tuple; sets queries.public_values = args ++ out (++ depth LE bytes if
     partial). Reference: src/lair/execute.rs:376-416,435-783."""
-    args = tuple(a % P for a in args)
+    # int() guards against numpy scalar args: np.uint32 arithmetic wraps at
+    # 32 bits inside the interpreter and silently corrupts every product
+    args = tuple(int(a) % P for a in args)
     out, depth = _execute_inner(toplevel, func, args, queries, dbg_func_idx)
     public_values = list(args) + list(out)
     if func.partial:

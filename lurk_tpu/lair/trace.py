@@ -93,6 +93,9 @@ class FuncChip:
     def name(self):
         return f"Func[{self.func.name}]"
 
+    def num_rows(self, shard: Shard) -> int:
+        return len(shard.get_func_range(self.func.index))
+
     # ------------------------------------------------------------------
     def generate_trace(self, shard: Shard) -> np.ndarray:
         queries = shard.queries

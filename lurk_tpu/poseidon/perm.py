@@ -24,31 +24,28 @@ from .constants import get_config
 
 
 def _external_layer(state):
-    """Blockwise M4 + block-column sums; state (width, batch)."""
+    """Blockwise M4 + block-column sums; state (width, batch).
+
+    Vectorized over the 4-element blocks (one fadd on (w/4, batch) per M4
+    step instead of w/4 unrolled row ops): same arithmetic, ~5x smaller HLO
+    graph - XLA compile time of every kernel embedding the permutation was
+    dominated by the unrolled variant."""
     w = state.shape[0]
     add = bb.fadd
-    blocks = []
-    for c in range(0, w, 4):
-        x0, x1, x2, x3 = state[c], state[c + 1], state[c + 2], state[c + 3]
-        t01 = add(x0, x1)
-        t23 = add(x2, x3)
-        t0123 = add(t01, t23)
-        t01123 = add(t0123, x1)
-        t01233 = add(t0123, x3)
-        n3 = add(t01233, add(x0, x0))
-        n1 = add(t01123, add(x2, x2))
-        n0 = add(t01123, t01)
-        n2 = add(t01233, t23)
-        blocks.append((n0, n1, n2, n3))
-    # block-column sums over all blocks
-    sums = []
-    for k in range(4):
-        acc = blocks[0][k]
-        for b in blocks[1:]:
-            acc = add(acc, b[k])
-        sums.append(acc)
-    rows = [add(blocks[c // 4][c % 4], sums[c % 4]) for c in range(w)]
-    return jnp.stack(rows, axis=0)
+    v = state.reshape(w // 4, 4, *state.shape[1:])
+    x0, x1, x2, x3 = v[:, 0], v[:, 1], v[:, 2], v[:, 3]
+    t01 = add(x0, x1)
+    t23 = add(x2, x3)
+    t0123 = add(t01, t23)
+    t01123 = add(t0123, x1)
+    t01233 = add(t0123, x3)
+    n0 = add(t01123, t01)
+    n1 = add(t01123, add(x2, x2))
+    n2 = add(t01233, t23)
+    n3 = add(t01233, add(x0, x0))
+    blocks = jnp.stack([n0, n1, n2, n3], axis=1)   # (w/4, 4, batch)
+    sums = _modsum_rows(blocks)                    # (4, batch)
+    return add(blocks, sums[None]).reshape(state.shape)
 
 
 def _modsum_rows(state):

@@ -1,0 +1,1104 @@
+"""Device-resident STARK prover stages (VERDICT round-1 item #1).
+
+Every compute-heavy block of the per-shard prove pipeline (SURVEY.md §3.2:
+trace commit, LogUp permutation traces, quotient evaluation, FRI fold,
+query openings) runs on the TPU; the host sees only transcript scalars
+(roots, opened values, cumulative sums) and the final query paths. Traces
+are uploaded once per shard; no intermediate matrix ever crosses the
+host<->device boundary.
+
+Bit-exactness contract: given the same inputs and challenger state, this
+path produces a proof IDENTICAL to the host prover in stark/machine.py
+(tested in tests/test_device_prover.py on the CPU backend). The host path
+stays as the oracle and the small-trace fast path.
+
+Layout/arithmetic notes:
+  * Field elements are canonical uint32 on device; multiplications convert
+    one operand to Montgomery form (bb.mont_mul(canonical, mont) yields a
+    canonical product - see field/babybear.py).
+  * Extension elements are (..., 4) uint32 (field/ext.py jnp ops).
+  * Modular reductions over long axes use log-step tree folds / scans
+    (TPU has no 64-bit integer datapath to lean on).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import babybear as bb
+from ..field import ext as ext_jnp
+from ..field import ext as ext_s  # scalar helpers share the module
+from ..field.ntt import GENERATOR, cg_tables_dev, device_ntt, _shift_powers
+from ..air.symbolic import Add, Col, Const, Mul, Pub, Sel, Sub
+from .device_pipeline import _device_hash_rows, _device_compress
+from .fri import FriConfig, FriProof, FriQuery, FriQueryStep, geom_powers
+from . import pcs as host_pcs
+
+U32 = jnp.uint32
+LOG_BLOWUP = 1
+
+
+def _log2(n: int) -> int:
+    l = int(n).bit_length() - 1
+    assert 1 << l == n
+    return l
+
+
+# ---------------------------------------------------------------------------
+# modular helpers
+# ---------------------------------------------------------------------------
+
+def mod_tree_sum(x, axis: int = 0):
+    """Exact sum mod p along `axis` via log-step folding with bb.fadd."""
+    n = x.shape[axis]
+    while n > 1:
+        half = n // 2
+        lo = jax.lax.slice_in_dim(x, 0, half, axis=axis)
+        hi = jax.lax.slice_in_dim(x, half, 2 * half, axis=axis)
+        rest = jax.lax.slice_in_dim(x, 2 * half, n, axis=axis)
+        x = jnp.concatenate([bb.fadd(lo, hi), rest], axis=axis)
+        n = half + (n - 2 * half)
+    return jnp.squeeze(x, axis=axis)
+
+
+def mod_cumsum(x, axis: int = 0):
+    """Inclusive prefix sum mod p (Hillis-Steele scan with bb.fadd)."""
+    n = x.shape[axis]
+    d = 1
+    while d < n:
+        shifted = jnp.roll(x, d, axis=axis)
+        # zero the wrapped-around entries
+        idx = jnp.arange(n)
+        mask = (idx >= d)
+        shape = [1] * x.ndim
+        shape[axis] = n
+        mask = mask.reshape(shape)
+        x = bb.fadd(x, jnp.where(mask, shifted, jnp.zeros_like(shifted)))
+        d *= 2
+    return x
+
+
+def ext_scalar_dev(t) -> jnp.ndarray:
+    """Python ext tuple -> (4,) canonical device array."""
+    return jnp.asarray(np.asarray([int(v) % bb.P for v in t], np.uint32))
+
+
+def builder_fingerprint(builder) -> str:
+    """Structural hash of a SymbolicBuilder's constraints + interactions.
+
+    Keys the jit caches below: machines rebuilt across calls/tests produce
+    structurally identical builders for the same chip, and the compiled
+    kernels only depend on that structure (plus shapes), so fingerprint
+    keying makes every compile process-wide instead of per-machine."""
+    fp = getattr(builder, "_device_fingerprint", None)
+    if fp is not None:
+        return fp
+    import hashlib
+    memo: Dict[int, str] = {}
+    shared: List[str] = []
+
+    def walk(e) -> str:
+        k = id(e)
+        r = memo.get(k)
+        if r is not None:
+            return r
+        if isinstance(e, Const):
+            s = f"C{e.val}"
+        elif isinstance(e, Col):
+            s = f"c{e.matrix[0]}{e.rot}_{e.idx}"
+        elif isinstance(e, Pub):
+            s = f"p{e.idx}"
+        elif isinstance(e, Sel):
+            s = f"s{e.kind[0]}"
+        elif isinstance(e, Add):
+            s = f"({walk(e.a)}+{walk(e.b)})"
+        elif isinstance(e, Sub):
+            s = f"({walk(e.a)}-{walk(e.b)})"
+        elif isinstance(e, Mul):
+            s = f"({walk(e.a)}*{walk(e.b)})"
+        else:
+            raise TypeError(e)
+        if len(s) > 64:   # number big shared subtrees to keep strings linear
+            name = f"@{len(shared)}"
+            shared.append(s)
+            s = name
+        memo[k] = s
+        return s
+
+    parts = [f"w{builder.main_width},{builder.preprocessed_width},"
+             f"{builder.num_public_values}"]
+    parts.extend("K" + walk(c) for c in builder.constraints)
+    parts.extend(
+        "I" + i.kind[0] + ",".join(walk(v) for v in i.values) + ";"
+        + walk(i.mult) for i in builder.interactions)
+    parts.extend(shared)
+    fp = hashlib.sha256("|".join(parts).encode()).hexdigest()
+    builder._device_fingerprint = fp
+    return fp
+
+
+def ext_mul_scalar(a, t_mont):
+    """(..., 4) ext array * ext scalar (4,) in mont form -> canonical."""
+    am = bb.to_mont(a)
+    return bb.from_mont(ext_jnp.emul_mont(am, jnp.broadcast_to(t_mont, a.shape)))
+
+
+# ---------------------------------------------------------------------------
+# device Merkle tree (same-height matrix batches, mirrors stark/merkle.py)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DTree:
+    widths: List[int]                # per-matrix widths (original order)
+    mats: list                       # device (h, w) canonical uint32
+    concat: object                   # device (h, total_w) leaf matrix
+    levels: list                     # (h >> k, 8) digests; small tops are np
+    root: tuple                      # host tuple of 8 ints
+
+
+# tree levels at or below this height are compressed on the host (the native
+# C++ Poseidon2 path, bit-exact): saves one per-shape XLA compile per level
+# for kernels that run microseconds
+_HOST_TOP = 256
+
+
+def dtree_commit(mats: list) -> DTree:
+    """All matrices must share one power-of-two height (pcs groups them).
+
+    Orchestrates eagerly over the hasher's per-shape jits (one Poseidon2
+    permutation per compiled unit, shapes shared across trees/levels) -
+    a single monolithic tree jit would re-compile the permutation log(h)
+    times per distinct (h, w) and dominate wall time off-cache."""
+    from . import hasher
+    h = int(mats[0].shape[0])
+    for m in mats:
+        assert int(m.shape[0]) == h
+    concat = jnp.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
+    if h <= _HOST_TOP:
+        level = hasher._hash_rows_np(np.asarray(concat, np.uint64))
+    else:
+        level = hasher.hash_rows(concat)
+    levels = [level]
+    while int(level.shape[0]) > 1:
+        if int(level.shape[0]) <= _HOST_TOP:
+            if not isinstance(level, np.ndarray):
+                level = np.asarray(level)
+            level = hasher._compress_pairs_np(
+                level[0::2].astype(np.uint64), level[1::2].astype(np.uint64))
+        else:
+            level = hasher.compress_pairs(level[0::2], level[1::2])
+        levels.append(level)
+    root = tuple(int(x) for x in np.asarray(levels[-1][0]))
+    return DTree([int(m.shape[1]) for m in mats], list(mats), concat,
+                 levels, root)
+
+
+def dtree_open_many(tree: DTree, indices: List[int]):
+    """Returns (rows (nq, total_w) np, paths (nq, depth, 8) np).
+
+    Eager gathers: XLA caches the tiny gather kernels per shape, and the
+    host-resident top levels index directly in numpy."""
+    depth = len(tree.levels) - 1
+    idx_np = np.asarray(indices, np.int64)
+    rows = np.asarray(tree.concat[jnp.asarray(idx_np)])
+    paths = []
+    idx = idx_np
+    for level in tree.levels[:depth]:
+        sib = idx ^ 1
+        if isinstance(level, np.ndarray):
+            paths.append(level[sib].astype(np.uint32))
+        else:
+            paths.append(np.asarray(level[jnp.asarray(sib)]))
+        idx = idx >> 1
+    path_arr = np.stack(paths, axis=1) if depth else \
+        np.zeros((len(indices), 0, 8), np.uint32)
+    return rows, path_arr
+
+
+# ---------------------------------------------------------------------------
+# device committed round (mirrors pcs.commit; natural-order coset LDE)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DRound:
+    matrices: list                   # device trace mats (h, w)
+    ldes: list                       # device LDE mats (2h, w)
+    coeffs: list                     # device coefficient mats (h, w)
+    trees: List[Tuple[int, DTree]]   # [(log_H, tree)] height desc
+    groups: List[Tuple[int, List[int]]]
+    group_coeffs: list               # per-group (h, sum_w) coefficient concat
+
+    @property
+    def roots(self) -> List[tuple]:
+        return [t.root for _, t in self.trees]
+
+
+@partial(jax.jit, static_argnames=("log_h",))
+def _lde_kernel(group, intt_tables, ntt_tables, sp, log_h: int):
+    """(h, w) trace evals -> (coeffs (h, w), lde (2h, w))."""
+    n = 1 << log_h
+    coeffs = device_ntt(group, log_h, True, intt_tables)
+    n_inv = bb.inv_s(n % bb.P)
+    coeffs = bb.mont_mul(coeffs, jnp.uint32((n_inv * bb.R_MOD_P) % bb.P))
+    big_n = n << LOG_BLOWUP
+    padded = jnp.zeros((big_n, group.shape[1]), U32)
+    padded = padded.at[:n].set(coeffs)
+    lde = device_ntt(bb.mont_mul(padded, sp[:, None]),
+                     log_h + LOG_BLOWUP, False, ntt_tables)
+    return coeffs, lde
+
+
+def dcommit(matrices: list) -> DRound:
+    """matrices: device or host (h, w) canonical uint32/uint64 arrays."""
+    mats = [jnp.asarray(np.asarray(m, np.uint32)) if isinstance(m, np.ndarray)
+            else jnp.asarray(m, U32) for m in matrices]
+    trace_lhs = [_log2(int(m.shape[0])) for m in mats]
+    groups = host_pcs._group_by_height(trace_lhs)
+    ldes: list = [None] * len(mats)
+    coeffs: list = [None] * len(mats)
+    trees = []
+    group_coeffs = []
+    for log_h, idxs in groups:
+        group = jnp.concatenate([mats[i] for i in idxs], axis=1) \
+            if len(idxs) > 1 else mats[idxs[0]]
+        big_log = log_h + LOG_BLOWUP
+        cfs, group_lde = _lde_kernel(
+            group, cg_tables_dev(log_h, True), cg_tables_dev(big_log, False),
+            jnp.asarray(_shift_powers(big_log, GENERATOR)), log_h)
+        off = 0
+        group_ldes = []
+        for i in idxs:
+            w = int(mats[i].shape[1])
+            ldes[i] = group_lde[:, off:off + w]
+            coeffs[i] = cfs[:, off:off + w]
+            group_ldes.append(ldes[i])
+            off += w
+        trees.append((big_log, dtree_commit(group_ldes)))
+        group_coeffs.append(cfs)
+    return DRound(mats, ldes, coeffs, trees, groups, group_coeffs)
+
+
+# ---------------------------------------------------------------------------
+# symbolic-DAG evaluation on device (Montgomery domain)
+# ---------------------------------------------------------------------------
+
+class DeviceEvalCtx:
+    """Vectorized base-field DAG evaluation over a device domain.
+
+    Values are kept in Montgomery form internally so Mul is one mont_mul;
+    `eval(e)` returns the canonical array. sels: kind -> (h,) canonical
+    device arrays. `public_values` is a (npv,) canonical device array (a
+    runtime input, so claims never bake into compiled kernels).
+    """
+
+    def __init__(self, main, preprocessed, public_values, sels,
+                 stride: int = 1):
+        self.main = main
+        self.preprocessed = preprocessed
+        self.pv = public_values
+        self.sels = sels
+        self.height = int(main.shape[0])
+        self.stride = stride
+        self._cache: Dict[int, jnp.ndarray] = {}
+        self._main_mont = None
+        self._prep_mont = None
+        self._pv_mont = None
+
+    def _mont_col(self, e: Col):
+        if e.matrix == "main":
+            if self._main_mont is None:
+                self._main_mont = bb.to_mont(self.main)
+            m = self._main_mont
+        else:
+            if self._prep_mont is None:
+                self._prep_mont = bb.to_mont(self.preprocessed)
+            m = self._prep_mont
+        col = m[:, e.idx]
+        return col if e.rot == 0 else jnp.roll(col, -self.stride, axis=0)
+
+    def eval_mont(self, e) -> jnp.ndarray:
+        key = id(e)
+        v = self._cache.get(key)
+        if v is not None:
+            return v
+        if isinstance(e, Const):
+            v = jnp.full((self.height,),
+                         np.uint32((e.val * bb.R_MOD_P) % bb.P))
+        elif isinstance(e, Col):
+            v = self._mont_col(e)
+        elif isinstance(e, Pub):
+            if self._pv_mont is None:
+                self._pv_mont = bb.to_mont(self.pv)
+            v = jnp.broadcast_to(self._pv_mont[e.idx], (self.height,))
+        elif isinstance(e, Sel):
+            v = bb.to_mont(self.sels[e.kind])
+        elif isinstance(e, Add):
+            v = bb.fadd(self.eval_mont(e.a), self.eval_mont(e.b))
+        elif isinstance(e, Sub):
+            v = bb.fsub(self.eval_mont(e.a), self.eval_mont(e.b))
+        elif isinstance(e, Mul):
+            v = bb.mont_mul(self.eval_mont(e.a), self.eval_mont(e.b))
+        else:
+            raise TypeError(e)
+        self._cache[key] = v
+        return v
+
+    def eval(self, e) -> jnp.ndarray:
+        return bb.from_mont(self.eval_mont(e))
+
+
+# ---------------------------------------------------------------------------
+# LogUp permutation trace on device (mirrors logup/trace.py)
+# ---------------------------------------------------------------------------
+
+def _d_signed_mult_mont(inter, ctx: DeviceEvalCtx):
+    m = ctx.eval_mont(inter.mult)
+    if inter.kind == "receive":
+        m = bb.fneg(m)
+    return m
+
+
+def _d_fingerprint_mont(inter, ctx: DeviceEvalCtx, r_mont, gpows_mont):
+    """(h, 4) mont ext fingerprint d = r + sum_j gamma^(j+1) v_j.
+
+    mont_mul(ext mont, base mont) = mont form of the coefficientwise
+    product, so the whole accumulation stays in mont form."""
+    h = ctx.height
+    d = jnp.broadcast_to(r_mont, (h, 4))
+    for j, v in enumerate(inter.values):
+        base = ctx.eval_mont(v)                       # (h,) mont
+        term = bb.mont_mul(jnp.broadcast_to(gpows_mont[j + 1], (h, 4)),
+                           base[:, None])
+        d = bb.fadd(d, term)
+    return d
+
+
+def gamma_pows_mont(gamma, count: int) -> jnp.ndarray:
+    """(count+1, 4) mont-form powers of gamma."""
+    from ..field.ext import emul_s
+    pows = [(1, 0, 0, 0)]
+    for _ in range(count):
+        pows.append(emul_s(pows[-1], gamma))
+    return jnp.asarray(bb.np_to_mont(np.asarray(pows, np.uint64)
+                                     .astype(np.uint32)))
+
+
+def _trace_sels_traced(h: int):
+    """Row-indicator selectors built in-trace (no host upload)."""
+    idx = jnp.arange(h)
+    first = (idx == 0).astype(U32)
+    last = (idx == h - 1).astype(U32)
+    trans = (idx != h - 1).astype(U32)
+    return {"first": first, "last": last, "transition": trans}
+
+
+_PERM_FNS: Dict[tuple, object] = {}
+
+
+def _perm_fn(builder, h: int, has_prep: bool):
+    key = (builder_fingerprint(builder), h, has_prep)
+    fn = _PERM_FNS.get(key)
+    if fn is not None:
+        return fn
+    from ..logup.trace import interaction_batches
+    batches = interaction_batches(builder)
+
+    def raw(main, prep, pv, r_mont, gpows_mont):
+        ctx = DeviceEvalCtx(main, prep, pv, _trace_sels_traced(h))
+        # evaluate every interaction's multiplicity + fingerprint first, then
+        # invert ALL fingerprints with one batched einv: einv is by far the
+        # biggest subgraph here and inlining it per interaction made XLA
+        # compile time per chip blow up superlinearly
+        ms, ds = [], []
+        for batch in batches:
+            for inter in batch:
+                ms.append(_d_signed_mult_mont(inter, ctx))     # (h,) mont
+                ds.append(_d_fingerprint_mont(inter, ctx, r_mont, gpows_mont))
+        d_invs = ext_jnp.einv(bb.from_mont(jnp.stack(ds)))     # (n, h, 4)
+        cols = []
+        total = jnp.zeros((h, 4), U32)
+        k = 0
+        for batch in batches:
+            phi = jnp.zeros((h, 4), U32)
+            for _ in batch:
+                # d_inv (canonical) * m (mont) -> canonical product
+                phi = bb.fadd(phi, bb.mont_mul(d_invs[k], ms[k][:, None]))
+                k += 1
+            cols.append(phi)
+            total = bb.fadd(total, phi)
+        s = mod_cumsum(total, axis=0)
+        cols.append(s)
+        return jnp.concatenate(cols, axis=1), s[-1]
+
+    fn = jax.jit(raw)
+    _PERM_FNS[key] = fn
+    return fn
+
+
+def device_perm_trace(builder, main_dev, prep_dev, pv_dev, r, gamma):
+    """Returns (perm trace device (h, 4(B+1)) canonical, cumulative tuple).
+    Mirrors logup.trace.build_permutation_trace bit-exactly."""
+    h = int(main_dev.shape[0])
+    max_vals = max((len(i.values) for i in builder.interactions), default=0)
+    gpows = gamma_pows_mont(gamma, max_vals)
+    r_mont = bb.to_mont(ext_scalar_dev(r))
+    fn = _perm_fn(builder, h, prep_dev is not None)
+    trace, s_last = fn(main_dev, prep_dev, pv_dev, r_mont, gpows)
+    cumulative = tuple(int(x) for x in np.asarray(s_last))
+    return trace, cumulative
+
+
+# ---------------------------------------------------------------------------
+# quotient evaluation on device (mirrors machine._prove_shard's chip loop)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _coset_tables(log_h: int):
+    """Host-computed per-height coset tables, uploaded once: Lagrange
+    selectors, 1/Z_H, inverse shift powers (all on the blowup coset)."""
+    from .machine import _sels_on_coset, _zh_on_coset
+    from ..field import ext_np as E_np
+    log_big = log_h + LOG_BLOWUP
+    sels, zh = _sels_on_coset(log_h, GENERATOR, log_big)
+    inv_zh = E_np.batch_inv_base(zh)
+    inv_shift = geom_powers(bb.inv_s(GENERATOR), 1 << log_big)
+    return {
+        "sels": {k: jnp.asarray(v.astype(np.uint32))
+                 for k, v in sels.items()},
+        "inv_zh": jnp.asarray(inv_zh.astype(np.uint32)),
+        "inv_shift": jnp.asarray(inv_shift.astype(np.uint32)),
+    }
+
+
+def _ext_mul_arrays(a, b):
+    """(.., 4) x (.., 4) canonical ext product."""
+    return bb.from_mont(ext_jnp.emul_mont(bb.to_mont(a), bb.to_mont(b)))
+
+
+def _d_perm_quotient(builder, ctx: DeviceEvalCtx, perm_lde, r_mont,
+                     gpows_mont, cum_dev, stride: int):
+    """Ext constraint arrays over the coset (mirrors eval_perm_quotient_np).
+    Returns a list of (big, 4) canonical arrays in the same order."""
+    from ..logup.trace import interaction_batches
+    h = int(perm_lde.shape[0])
+    batches = interaction_batches(builder)
+    nb = len(batches)
+
+    def phi(b, rot=0):
+        block = perm_lde[:, 4 * b:4 * b + 4]
+        return block if rot == 0 else jnp.roll(block, -stride, axis=0)
+
+    s_col = perm_lde[:, 4 * nb:4 * nb + 4]
+    s_next = jnp.roll(s_col, -stride, axis=0)
+
+    out = []
+    for b, batch in enumerate(batches):
+        ms = [_d_signed_mult_mont(i, ctx) for i in batch]        # mont (h,)
+        ds = [_d_fingerprint_mont(i, ctx, r_mont, gpows_mont)
+              for i in batch]                                    # mont (h,4)
+        lhs_m = bb.to_mont(phi(b))
+        for d in ds:
+            lhs_m = ext_jnp.emul_mont(lhs_m, d)
+        rhs_m = jnp.zeros((h, 4), U32)
+        for i, m in enumerate(ms):
+            # term starts as ext embedding of the (mont) multiplicity
+            term = jnp.zeros((h, 4), U32).at[:, 0].set(m)
+            for j, d in enumerate(ds):
+                if j != i:
+                    term = ext_jnp.emul_mont(term, d)
+            rhs_m = bb.fadd(rhs_m, term)
+        out.append(bb.from_mont(bb.fsub(lhs_m, rhs_m)))
+
+    total_phi = jnp.zeros((h, 4), U32)
+    total_phi_next = jnp.zeros((h, 4), U32)
+    for b in range(nb):
+        total_phi = bb.fadd(total_phi, phi(b))
+        total_phi_next = bb.fadd(total_phi_next, phi(b, rot=1))
+
+    first = ctx.sels["first"]
+    last = ctx.sels["last"]
+    trans = ctx.sels["transition"]
+    cum = jnp.broadcast_to(cum_dev, (h, 4))
+
+    # base selector * ext value: mont_mul(ext canonical, sel mont) -> canonical
+    def scale_sel(sel, v):
+        return bb.mont_mul(v, bb.to_mont(sel)[:, None])
+
+    out.append(scale_sel(first, bb.fsub(s_col, total_phi)))
+    out.append(scale_sel(trans, bb.fsub(bb.fsub(s_next, s_col),
+                                        total_phi_next)))
+    out.append(scale_sel(last, bb.fsub(s_col, cum)))
+    return out
+
+
+_QUOT_FNS: Dict[tuple, object] = {}
+
+
+def _quotient_fn(builder, log_h: int, has_prep: bool):
+    key = (builder_fingerprint(builder), log_h, has_prep)
+    fn = _QUOT_FNS.get(key)
+    if fn is not None:
+        return fn
+    log_big = log_h + LOG_BLOWUP
+    stride = 1 << LOG_BLOWUP
+    n_base = len(builder.constraints)
+
+    def raw(main_lde, prep_lde, perm_lde, pv, r_mont, gpows_mont, cum_dev,
+            apows_mont, sels, inv_zh, inv_shift, intt_tables, ntt_tables):
+        big = 1 << log_big
+        ctx = DeviceEvalCtx(main_lde, prep_lde, pv, sels, stride=stride)
+        # alpha-fold; weights arrive pre-reversed so constraint i (in eval
+        # order) is scaled by alpha^(n_total-1-i), matching the host matmul
+        folded = jnp.zeros((big, 4), U32)
+        for i, c in enumerate(builder.constraints):
+            cval = ctx.eval(c)                            # (big,) canonical
+            w = apows_mont[i]                             # (4,) mont
+            # mont_mul(mont w, canonical c) -> canonical w*c per component
+            folded = bb.fadd(folded, bb.mont_mul(
+                jnp.broadcast_to(w, (big, 4)), cval[:, None]))
+        pvals = _d_perm_quotient(builder, ctx, perm_lde, r_mont, gpows_mont,
+                                 cum_dev, stride)
+        for k, cval in enumerate(pvals):
+            w = apows_mont[n_base + k]
+            folded = bb.fadd(folded, ext_mul_scalar(cval, w))
+        # divide by Z_H
+        qvals = bb.mont_mul(folded, bb.to_mont(inv_zh)[:, None])
+        # interpolate over the coset
+        n_inv = bb.inv_s(big % bb.P)
+        qc = device_ntt(qvals, log_big, True, intt_tables)
+        qc = bb.mont_mul(qc, jnp.uint32((n_inv * bb.R_MOD_P) % bb.P))
+        qc = bb.mont_mul(qc, bb.to_mont(inv_shift)[:, None])
+        q0 = qc[0::2]
+        q1 = qc[1::2]
+        chunk = jnp.concatenate([
+            device_ntt(q0, log_h, False, ntt_tables),
+            device_ntt(q1, log_h, False, ntt_tables)], axis=1)
+        return chunk
+
+    fn = jax.jit(raw)
+    _QUOT_FNS[key] = fn
+    return fn
+
+
+def device_quotient_chunk(builder, main_lde, prep_lde, perm_lde, pv_dev,
+                          r, gamma, alpha, cum, log_h: int):
+    """(h, 8) quotient chunk matrix, bit-exact vs the host prover."""
+    max_vals = max((len(i.values) for i in builder.interactions), default=0)
+    gpows = gamma_pows_mont(gamma, max_vals)
+    r_mont = bb.to_mont(ext_scalar_dev(r))
+    cum_dev = ext_scalar_dev(cum)
+    n_base = len(builder.constraints)
+    from ..logup.trace import interaction_batches
+    n_perm = len(interaction_batches(builder)) + 3
+    n_total = n_base + n_perm
+    # weight for constraint i (in eval order) = alpha^(n_total-1-i)
+    apows = host_pcs.ext_powers(alpha, n_total)          # (n_total,4) uint64
+    weights = apows[::-1].astype(np.uint32)              # i -> alpha^(n-1-i)
+    apows_mont = jnp.asarray(bb.np_to_mont(np.ascontiguousarray(weights)))
+    tabs = _coset_tables(log_h)
+    fn = _quotient_fn(builder, log_h, prep_lde is not None)
+    return fn(main_lde, prep_lde, perm_lde, pv_dev, r_mont, gpows, cum_dev,
+              apows_mont, tabs["sels"], tabs["inv_zh"], tabs["inv_shift"],
+              cg_tables_dev(log_h + LOG_BLOWUP, True),
+              cg_tables_dev(log_h, False))
+
+
+# ---------------------------------------------------------------------------
+# opened values + reduced codewords on device (mirrors pcs.open_rounds)
+# ---------------------------------------------------------------------------
+
+_EXTPOW_FNS: Dict[int, object] = {}
+
+
+def _ext_powers_fn(n: int):
+    fn = _EXTPOW_FNS.get(n)
+    if fn is not None:
+        return fn
+
+    def raw(z_mont):
+        out = jnp.zeros((n, 4), U32)
+        out = out.at[0, 0].set(jnp.uint32(bb.R_MOD_P))      # mont(1)
+        zk = z_mont                                          # z^k, mont
+        k = 1
+        while k < n:
+            m = min(k, n - k)
+            block = ext_jnp.emul_mont(out[:m], jnp.broadcast_to(zk, (m, 4)))
+            out = jax.lax.dynamic_update_slice(out, block, (k, 0))
+            zk = ext_jnp.emul_mont(zk, zk)
+            k *= 2
+        return out                                           # (n,4) mont
+
+    fn = jax.jit(raw)
+    _EXTPOW_FNS[n] = fn
+    return fn
+
+
+def device_ext_powers_mont(z, n: int):
+    """[z^0..z^(n-1)] as a (n, 4) mont-form device array."""
+    z_mont = bb.to_mont(ext_scalar_dev(z))
+    return _ext_powers_fn(max(n, 1))(z_mont)
+
+
+_EVALC_FNS: Dict[tuple, object] = {}
+
+
+def _eval_coeffs_fn(h: int, w: int):
+    key = (h, w)
+    fn = _EVALC_FNS.get(key)
+    if fn is not None:
+        return fn
+
+    def raw(coeffs, zp_mont):
+        outs = []
+        for l in range(4):
+            prod = bb.mont_mul(coeffs, zp_mont[:, l][:, None])  # canonical
+            outs.append(mod_tree_sum(prod, axis=0))             # (w,)
+        return jnp.stack(outs, axis=1)                          # (w, 4)
+
+    fn = jax.jit(raw)
+    _EVALC_FNS[key] = fn
+    return fn
+
+
+def device_eval_coeffs_at(coeffs_dev, zp_mont) -> List[tuple]:
+    h, w = int(coeffs_dev.shape[0]), int(coeffs_dev.shape[1])
+    out = np.asarray(_eval_coeffs_fn(h, w)(coeffs_dev, zp_mont))
+    return [tuple(int(x) for x in row) for row in out]
+
+
+_XS_CACHE: Dict[int, jnp.ndarray] = {}
+
+
+def _xs_dev(log_h: int):
+    xs = _XS_CACHE.get(log_h)
+    if xs is None:
+        xs = jnp.asarray(geom_powers(
+            bb.two_adic_generator_s(log_h), 1 << log_h, GENERATOR
+        ).astype(np.uint32))
+        _XS_CACHE[log_h] = xs
+    return xs
+
+
+_INVXZ_FNS: Dict[int, object] = {}
+
+
+def _inv_xz_fn(h: int):
+    fn = _INVXZ_FNS.get(h)
+    if fn is not None:
+        return fn
+
+    def raw(xs, z_dev):
+        xz = ext_jnp.from_base(xs)
+        xz = bb.fsub(xz, jnp.broadcast_to(z_dev, (h, 4)))
+        return ext_jnp.einv(xz)
+
+    fn = jax.jit(raw)
+    _INVXZ_FNS[h] = fn
+    return fn
+
+
+_REDUCE_FNS: Dict[tuple, object] = {}
+
+
+def _reduce_fn(H: int, w: int):
+    key = (H, w)
+    fn = _REDUCE_FNS.get(key)
+    if fn is not None:
+        return fn
+
+    def raw(lde, apows_mont, y_alpha, inv_xz):
+        comps = []
+        for l in range(4):
+            prod = bb.mont_mul(lde, apows_mont[:, l][None, :])   # (H,w)
+            comps.append(mod_tree_sum(prod, axis=1))             # (H,)
+        fx = jnp.stack(comps, axis=1)                            # (H,4)
+        num = bb.fsub(fx, jnp.broadcast_to(y_alpha, (H, 4)))
+        return _ext_mul_arrays(num, inv_xz)
+
+    fn = jax.jit(raw)
+    _REDUCE_FNS[key] = fn
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# FRI proving on device (mirrors fri.prove)
+# ---------------------------------------------------------------------------
+
+_FOLD_FNS: Dict[int, object] = {}
+
+_TWO_INV = pow(2, bb.P - 2, bb.P)
+
+
+def _fold_fn(log_n: int):
+    fn = _FOLD_FNS.get(log_n)
+    if fn is not None:
+        return fn
+    half = 1 << (log_n - 1)
+
+    def raw(cw, beta_mont, inv_2x):
+        f_x = cw[:half]
+        f_mx = cw[half:]
+        two_inv_m = jnp.uint32((_TWO_INV * bb.R_MOD_P) % bb.P)
+        s = bb.mont_mul(bb.fadd(f_x, f_mx), two_inv_m)
+        d = bb.mont_mul(bb.fsub(f_x, f_mx), bb.to_mont(inv_2x)[:, None])
+        bd = bb.from_mont(ext_jnp.emul_mont(
+            jnp.broadcast_to(beta_mont, (half, 4)), bb.to_mont(d)))
+        return bb.fadd(s, bd)
+
+    fn = jax.jit(raw)
+    _FOLD_FNS[log_n] = fn
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _inv_2x_dev(log_n: int, shift: int):
+    from .fri import _inv_x_half
+    inv_x = _inv_x_half(log_n, shift)
+    inv_2x = (inv_x * np.uint64(_TWO_INV)) % np.uint64(bb.P)
+    return jnp.asarray(inv_2x.astype(np.uint32))
+
+
+def device_fri_prove(codewords: Dict[int, jnp.ndarray], config: FriConfig,
+                     challenger) -> Tuple[FriProof, List[DTree]]:
+    """codewords: log_n -> (2^log_n, 4) canonical ext device arrays."""
+    from .fri import layer_shift
+    max_log = max(codewords)
+    current = codewords[max_log]
+    layer_trees: List[DTree] = []
+    log_n = max_log
+    layer = 0
+    while log_n > config.log_blowup:
+        half = 1 << (log_n - 1)
+        pair = jnp.concatenate([current[:half].reshape(half, 4),
+                                current[half:].reshape(half, 4)], axis=1)
+        tree = dtree_commit([pair])
+        layer_trees.append(tree)
+        challenger.observe_many(tree.root)
+        beta = challenger.sample_ext()
+        beta_mont = bb.to_mont(ext_scalar_dev(beta))
+        current = _fold_fn(log_n)(current, beta_mont,
+                                  _inv_2x_dev(log_n, layer_shift(max_log,
+                                                                 layer)))
+        log_n -= 1
+        layer += 1
+        if log_n in codewords:
+            current = bb.fadd(current, codewords[log_n])
+    final_rows = np.asarray(current)
+    final = tuple(int(x) for x in final_rows[0])
+    assert all(tuple(int(x) for x in row) == final for row in final_rows), \
+        "FRI final polynomial is not constant - inputs exceeded degree bound"
+    challenger.observe_many(final)
+    pow_witness = challenger.grind(config.pow_bits)
+
+    indices = [challenger.sample_bits(max_log)
+               for _ in range(config.num_queries)]
+    # batch-gather the query openings layer by layer
+    per_layer_idx: List[List[int]] = []
+    idxs = list(indices)
+    size = 1 << max_log
+    for tree in layer_trees:
+        half = size // 2
+        js = [i % half for i in idxs]
+        per_layer_idx.append(js)
+        idxs = js
+        size = half
+    layer_rows = []
+    layer_paths = []
+    for tree, js in zip(layer_trees, per_layer_idx):
+        rows, paths = dtree_open_many(tree, js)
+        layer_rows.append(rows)
+        layer_paths.append(paths)
+    queries = []
+    for qi in range(config.num_queries):
+        steps = []
+        for li in range(len(layer_trees)):
+            row = [int(x) for x in layer_rows[li][qi]]
+            path = [tuple(int(x) for x in d) for d in layer_paths[li][qi]]
+            steps.append(FriQueryStep(row, path))
+        queries.append(FriQuery(steps))
+    proof = FriProof([t.root for t in layer_trees], final, pow_witness,
+                     queries, indices)
+    return proof, layer_trees
+
+
+# ---------------------------------------------------------------------------
+# full PCS open on device (mirrors pcs.open_rounds)
+# ---------------------------------------------------------------------------
+
+def _group_points(rnd: DRound, rnd_points, idxs) -> list:
+    """Union of the group's matrices' opening points, first-seen order."""
+    zs = []
+    for i in idxs:
+        for z in rnd_points[i]:
+            if z not in zs:
+                zs.append(z)
+    return zs
+
+
+def device_open_rounds(rounds: List[DRound],
+                       points: List[List[List[tuple]]],
+                       config: FriConfig, challenger) -> host_pcs.PcsProof:
+    """Mirrors pcs.open_rounds bit-exactly (same transcript order, same
+    alpha-power offsets), but batches both the coefficient evaluations and
+    the reduced-codeword accumulation per height GROUP rather than per
+    matrix: one kernel per (group, point) instead of one per (matrix,
+    point), so the compile count is O(heights), not O(chips). The fused
+    modular sums are order-insensitive (exact mod-p adds)."""
+    from ..field import ext_np as E_np
+    from . import merkle as host_merkle
+
+    # opened values: evaluate each group's coefficient concat at the union
+    # of its matrices' points, then scatter back per matrix
+    opened = []
+    for rnd, rnd_points in zip(rounds, points):
+        rv = [[None] * len(pts) for pts in rnd_points]
+        for (log_h, idxs), gcoeffs in zip(rnd.groups, rnd.group_coeffs):
+            h = 1 << log_h
+            for z in _group_points(rnd, rnd_points, idxs):
+                zp_mont = device_ext_powers_mont(z, h)
+                ys_all = device_eval_coeffs_at(gcoeffs, zp_mont)
+                off = 0
+                for i in idxs:
+                    w = int(rnd.matrices[i].shape[1])
+                    # a point list may repeat a point (h=1: zeta*g == zeta)
+                    for pi, zp in enumerate(rnd_points[i]):
+                        if zp == z:
+                            rv[i][pi] = ys_all[off:off + w]
+                    off += w
+        for mv in rv:                      # transcript order: (mat, point)
+            for ys in mv:
+                for y in ys:
+                    challenger.observe_many(y)
+        opened.append(rv)
+
+    alpha = challenger.sample_ext()
+
+    # alpha-power offsets in host (round, mat, point) order
+    offsets: Dict[tuple, int] = {}
+    alpha_cnt = 0
+    for ri, (rnd, rnd_points) in enumerate(zip(rounds, points)):
+        for mi, pts in enumerate(rnd_points):
+            w = int(rnd.matrices[mi].shape[1])
+            for pi in range(len(pts)):
+                offsets[(ri, mi, pi)] = alpha_cnt
+                alpha_cnt += w
+
+    ro: Dict[int, jnp.ndarray] = {}
+    inv_xz_cache: Dict[tuple, jnp.ndarray] = {}
+    for ri, (rnd, rnd_points, rnd_opened) in enumerate(
+            zip(rounds, points, opened)):
+        for gi, (log_h, idxs) in enumerate(rnd.groups):
+            log_H = log_h + LOG_BLOWUP
+            H = 1 << log_H
+            lde = rnd.trees[gi][1].concat              # (H, W_total)
+            W_total = int(lde.shape[1])
+            for z in _group_points(rnd, rnd_points, idxs):
+                # assemble the alpha-power weights for every participating
+                # matrix (zeros elsewhere: zero weight = excluded)
+                weights = np.zeros((W_total, 4), np.uint64)
+                y_alpha = np.zeros(4, np.uint64)
+                off = 0
+                for i in idxs:
+                    w = int(rnd.matrices[i].shape[1])
+                    # duplicate points fold in as summed weight segments:
+                    # (f*a1 - y1)/(x-z) + (f*a2 - y2)/(x-z)
+                    #   == (f*(a1+a2) - (y1+y2))/(x-z)
+                    for pi, zp in enumerate(rnd_points[i]):
+                        if zp != z:
+                            continue
+                        apows = host_pcs.ext_powers_from(
+                            alpha, offsets[(ri, i, pi)], w)
+                        weights[off:off + w] = \
+                            (weights[off:off + w] + apows) % np.uint64(bb.P)
+                        ys_arr = np.asarray(rnd_opened[i][pi], np.uint64)
+                        ya = E_np.emul(ys_arr, apows).sum(axis=0) \
+                            % np.uint64(bb.P)
+                        y_alpha = (y_alpha + ya) % np.uint64(bb.P)
+                    off += w
+                apows_mont = jnp.asarray(bb.np_to_mont(
+                    weights.astype(np.uint32)))
+                inv_xz = inv_xz_cache.get((log_H, z))
+                if inv_xz is None:
+                    inv_xz = _inv_xz_fn(H)(_xs_dev(log_H), ext_scalar_dev(z))
+                    inv_xz_cache[(log_H, z)] = inv_xz
+                contrib = _reduce_fn(H, W_total)(
+                    lde, apows_mont,
+                    ext_scalar_dev(tuple(int(v) for v in y_alpha)), inv_xz)
+                if log_H in ro:
+                    ro[log_H] = bb.fadd(ro[log_H], contrib)
+                else:
+                    ro[log_H] = contrib
+
+    fri_proof, _layer_trees = device_fri_prove(ro, config, challenger)
+
+    # round-tree query openings, batched per tree
+    query_openings: List[list] = [[] for _ in fri_proof.query_indices]
+    for rnd in rounds:
+        per_tree = []
+        for log_H, tree in rnd.trees:
+            idxs = [q % (1 << log_H) for q in fri_proof.query_indices]
+            rows, paths = dtree_open_many(tree, idxs)
+            per_tree.append((log_H, tree, rows, paths))
+        for qi in range(len(fri_proof.query_indices)):
+            entries = []
+            for log_H, tree, rows, paths in per_tree:
+                row = rows[qi]
+                mats_rows = []
+                off = 0
+                for wdt in tree.widths:
+                    mats_rows.append([int(x) for x in row[off:off + wdt]])
+                    off += wdt
+                path = [tuple(int(x) for x in d) for d in paths[qi]]
+                entries.append((log_H, host_merkle.Opening(mats_rows, path)))
+            query_openings[qi].append(entries)
+
+    return host_pcs.PcsProof(opened, fri_proof, query_openings)
+
+
+# ---------------------------------------------------------------------------
+# orchestration (mirrors StarkMachine.prove/_prove_shard)
+# ---------------------------------------------------------------------------
+
+def device_prove(machine, pk, queries, challenger, shard_config=None):
+    """Device-resident equivalent of StarkMachine.prove: same transcript,
+    same proof object, traces resident on device from commit to FRI."""
+    from ..lair.execute import Shard
+    from ..lair.chips import chip_included, chip_preprocessed
+    from .machine import MachineProof, ShardProof, ChipProof
+
+    shards = Shard(queries, 0, shard_config).shard()
+    pv = queries.expect_public_values()
+    pv_dev = jnp.asarray(np.asarray([int(v) % bb.P for v in pv], np.uint32))
+
+    # device prep round (bit-exact vs pk: same commitment algorithm)
+    prep_round = None
+    prep_names: List[str] = []
+    if pk.prep_round is not None:
+        prep_round = getattr(machine, "_device_prep_round", None)
+        if prep_round is None:
+            prep_round = dcommit(pk.prep_round.matrices)
+            assert prep_round.roots == pk.prep_round.roots, \
+                "device prep commitment diverged from host setup"
+            machine._device_prep_round = prep_round
+        prep_names = pk.prep_chip_names
+        for root in prep_round.roots:
+            challenger.observe_many(root)
+    challenger.observe_many(pv)
+
+    shard_chip_lists = []
+    shard_main_rounds = []
+    for shard in shards:
+        chips = [c for c in machine.chips if chip_included(c, shard)]
+        traces_np = [np.asarray(c.generate_trace(shard), np.uint64)
+                     for c in chips]
+        main_round = dcommit(traces_np)
+        shard_chip_lists.append((chips, traces_np))
+        shard_main_rounds.append(main_round)
+        for root in main_round.roots:
+            challenger.observe_many(root)
+
+    shard_proofs = []
+    for shard, (chips, traces_np), main_round in zip(
+            shards, shard_chip_lists, shard_main_rounds):
+        ch = challenger.copy()
+        shard_proofs.append(_device_prove_shard(
+            machine, pk, prep_round, prep_names, shard, chips, traces_np,
+            main_round, pv, pv_dev, ch))
+    return MachineProof(shard_proofs, list(pv))
+
+
+def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
+                        traces_np, main_round: DRound, pv, pv_dev, ch):
+    from ..lair.chips import chip_preprocessed
+    from .machine import ShardProof, ChipProof
+    from ..field import ext as ext_scalar
+
+    builders = [machine.builder_for(c) for c in chips]
+    has_preps = [chip_preprocessed(c) is not None for c in chips]
+
+    r = ch.sample_ext()
+    gamma = ch.sample_ext()
+
+    perm_mats = []
+    cums = []
+    for chip, builder, main_dev, has_prep in zip(
+            chips, builders, main_round.matrices, has_preps):
+        prep_dev = None
+        if has_prep:
+            pidx = prep_names.index(chip.name)
+            prep_dev = prep_round.matrices[pidx]
+        perm, cum = device_perm_trace(builder, main_dev, prep_dev, pv_dev,
+                                      r, gamma)
+        perm_mats.append(perm)
+        cums.append(cum)
+    perm_round = dcommit(perm_mats)
+    for root in perm_round.roots:
+        ch.observe_many(root)
+    for cum in cums:
+        ch.observe_many(cum)
+
+    alpha = ch.sample_ext()
+
+    quotient_mats = []
+    for i, (chip, builder, has_prep) in enumerate(
+            zip(chips, builders, has_preps)):
+        log_h = _log2(int(main_round.matrices[i].shape[0]))
+        prep_lde = None
+        if has_prep:
+            pidx = prep_names.index(chip.name)
+            prep_lde = prep_round.ldes[pidx]
+        chunk = device_quotient_chunk(
+            builder, main_round.ldes[i], prep_lde, perm_round.ldes[i],
+            pv_dev, r, gamma, alpha, cums[i], log_h)
+        quotient_mats.append(chunk)
+    quotient_round = dcommit(quotient_mats)
+    for root in quotient_round.roots:
+        ch.observe_many(root)
+
+    zeta = ch.sample_ext()
+    zeta2 = ext_scalar.emul_s(zeta, zeta)
+
+    rounds = []
+    points = []
+    if prep_round is not None:
+        rounds.append(prep_round)
+        prep_points = []
+        for pidx, pname in enumerate(prep_names):
+            chip_i = next((j for j, c in enumerate(chips)
+                           if c.name == pname), None)
+            if chip_i is None:
+                prep_points.append([zeta])
+            else:
+                log_h = _log2(int(main_round.matrices[chip_i].shape[0]))
+                g = bb.two_adic_generator_s(log_h)
+                prep_points.append([zeta, ext_scalar.emul_s(zeta,
+                                                            (g, 0, 0, 0))])
+        points.append(prep_points)
+    main_points = []
+    for m in main_round.matrices:
+        log_h = _log2(int(m.shape[0]))
+        g = bb.two_adic_generator_s(log_h) if log_h else 1
+        zg = ext_scalar.emul_s(zeta, (g, 0, 0, 0))
+        main_points.append([zeta, zg])
+    rounds.append(main_round)
+    points.append(main_points)
+    rounds.append(perm_round)
+    points.append([list(p) for p in main_points])
+    rounds.append(quotient_round)
+    points.append([[zeta2] for _ in quotient_mats])
+
+    pcs_proof = device_open_rounds(rounds, points, machine.config, ch)
+
+    chip_proofs = [
+        ChipProof(c.name, _log2(int(main_round.matrices[i].shape[0])),
+                  cums[i])
+        for i, c in enumerate(chips)
+    ]
+    return ShardProof(shard.index, chip_proofs, main_round.roots,
+                      perm_round.roots, quotient_round.roots, pcs_proof)

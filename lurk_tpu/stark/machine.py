@@ -186,7 +186,56 @@ class StarkMachine:
 
     # ------------------------------------------------------------------
     def prove(self, pk: ProvingKey, queries: QueryRecord,
-              challenger: Challenger, shard_config=None) -> MachineProof:
+              challenger: Challenger, shard_config=None,
+              device: Optional[bool] = None) -> MachineProof:
+        """device=None auto-selects the device-resident pipeline when an
+        accelerator backend is present AND the workload is large enough to
+        amortize its per-process jit cost (tracing + compile-cache loads
+        run minutes for a fresh process on TPU, while a small host prove is
+        seconds). Both paths produce bit-identical proofs
+        (tests/test_device_prover.py). Overrides: LURK_TPU_PROVE=device|host
+        forces a path; LURK_TPU_DEVICE_MIN_CELLS tunes the auto threshold
+        (default 2^22 padded trace cells)."""
+        if device is None:
+            import os
+            force = os.environ.get("LURK_TPU_PROVE", "").lower()
+            if force in ("device", "host"):
+                device = force == "device"
+            else:
+                try:
+                    import jax
+                    device = jax.default_backend() != "cpu"
+                except Exception:
+                    device = False
+                if device:
+                    min_cells = int(os.environ.get(
+                        "LURK_TPU_DEVICE_MIN_CELLS", 1 << 22))
+                    device = self._trace_cells(queries,
+                                               shard_config) >= min_cells
+        if device:
+            from .device_prover import device_prove
+            return device_prove(self, pk, queries, challenger, shard_config)
+        return self._prove_host(pk, queries, challenger, shard_config)
+
+    def _trace_cells(self, queries: QueryRecord, shard_config) -> int:
+        """Total padded main-trace cells over all shards (cheap estimate
+        from query counts; no trace materialization)."""
+        from ..lair.chips import chip_included
+        total = 0
+        for shard in Shard(queries, 0, shard_config).shard():
+            for chip in self.chips:
+                if not chip_included(chip, shard):
+                    continue
+                rows = chip.num_rows(shard) if hasattr(chip, "num_rows") \
+                    else None
+                if rows is None:
+                    continue
+                height = 1 << max(int(rows) - 1, 0).bit_length()
+                total += height * getattr(chip, "width", 1)
+        return total
+
+    def _prove_host(self, pk: ProvingKey, queries: QueryRecord,
+                    challenger: Challenger, shard_config=None) -> MachineProof:
         shards = Shard(queries, 0, shard_config).shard()
         pv = queries.expect_public_values()
 

@@ -1,0 +1,103 @@
+"""Bit-exactness of the device-resident prover vs the host prover.
+
+Runs on the CPU backend (conftest forces jax_platforms=cpu) - the device
+path is the same jnp program that runs on TPU, so agreement here plus the
+kernel-level TPU bit-exactness tests gives the full contract
+(device_prover.py docstring).
+"""
+
+import numpy as np
+import pytest
+
+from lurk_tpu.lair.demo import demo_toplevel
+from lurk_tpu.lair.execute import QueryRecord, ShardingConfig, execute_by_name
+from lurk_tpu.lair.trace import FuncChip
+from lurk_tpu.lair.chips import build_lair_chip_vector
+from lurk_tpu.stark.machine import StarkMachine
+from lurk_tpu.stark.challenger import Challenger
+from lurk_tpu.stark.fri import FriConfig
+
+TEST_CONFIG = FriConfig(log_blowup=1, num_queries=8, pow_bits=2)
+
+
+def _setup(entry, args, expect=None):
+    tl = demo_toplevel()
+    q = QueryRecord(tl)
+    out = execute_by_name(tl, entry, args, q)
+    if expect is not None:
+        assert out == expect
+    chip = FuncChip.from_name(entry, tl)
+    chips = build_lair_chip_vector(chip)
+    machine = StarkMachine(chips, len(q.expect_public_values()), TEST_CONFIG)
+    return machine, q
+
+
+def _assert_proofs_equal(a, b):
+    assert a.public_values == b.public_values
+    assert len(a.shard_proofs) == len(b.shard_proofs)
+    for sa, sb in zip(a.shard_proofs, b.shard_proofs):
+        assert sa.index == sb.index
+        assert sa.main_roots == sb.main_roots
+        assert sa.perm_roots == sb.perm_roots
+        assert sa.quotient_roots == sb.quotient_roots
+        for ca, cb in zip(sa.chip_proofs, sb.chip_proofs):
+            assert (ca.name, ca.log_height, ca.cumulative_sum) == \
+                (cb.name, cb.log_height, cb.cumulative_sum)
+        assert sa.pcs_proof.opened == sb.pcs_proof.opened
+        fa, fb = sa.pcs_proof.fri_proof, sb.pcs_proof.fri_proof
+        assert fa.layer_roots == fb.layer_roots
+        assert fa.final_value == fb.final_value
+        assert fa.pow_witness == fb.pow_witness
+        assert list(fa.query_indices) == list(fb.query_indices)
+        for qa, qb in zip(fa.queries, fb.queries):
+            for sa_, sb_ in zip(qa.steps, qb.steps):
+                assert list(sa_.pair_row) == list(sb_.pair_row)
+                assert list(sa_.path) == list(sb_.path)
+        qo_a, qo_b = sa.pcs_proof.query_openings, sb.pcs_proof.query_openings
+        assert len(qo_a) == len(qo_b)
+        for ra, rb in zip(qo_a, qo_b):
+            for ea, eb in zip(ra, rb):
+                for (la, oa), (lb, ob) in zip(ea, eb):
+                    assert la == lb
+                    assert [list(r) for r in oa.rows] == \
+                        [list(r) for r in ob.rows]
+                    assert [tuple(p) for p in oa.path] == \
+                        [tuple(p) for p in ob.path]
+
+
+def test_device_proof_bit_exact_factorial():
+    machine, q = _setup("factorial", [5], (120,))
+    pk, vk = machine.setup()
+    host = machine.prove(pk, q, Challenger(), device=False)
+    dev = machine.prove(pk, q, Challenger(), device=True)
+    _assert_proofs_equal(host, dev)
+    assert machine.verify(vk, dev, Challenger())
+
+
+def test_device_proof_bit_exact_fib():
+    machine, q = _setup("fib", [7])
+    pk, vk = machine.setup()
+    host = machine.prove(pk, q, Challenger(), device=False)
+    dev = machine.prove(pk, q, Challenger(), device=True)
+    _assert_proofs_equal(host, dev)
+    assert machine.verify(vk, dev, Challenger())
+
+
+def test_device_proof_multi_shard():
+    from tests.test_lair_air import _ackermann_func
+    from lurk_tpu.lair.toplevel import Toplevel
+
+    tl = Toplevel([_ackermann_func()])
+    q = QueryRecord(tl)
+    out = execute_by_name(tl, "ackermann", [2, 7], q)
+    assert out == (17,)
+    chip = FuncChip.from_name("ackermann", tl)
+    chips = build_lair_chip_vector(chip)
+    machine = StarkMachine(chips, len(q.expect_public_values()), TEST_CONFIG)
+    pk, vk = machine.setup()
+    cfg = ShardingConfig(max_shard_size=16)
+    host = machine.prove(pk, q, Challenger(), shard_config=cfg, device=False)
+    dev = machine.prove(pk, q, Challenger(), shard_config=cfg, device=True)
+    assert len(dev.shard_proofs) > 1
+    _assert_proofs_equal(host, dev)
+    assert machine.verify(vk, dev, Challenger())
