@@ -24,6 +24,8 @@ def repl(tmp_path, monkeypatch):
     "demo/chained-functional-commitment.lurk",
     "demo/bank.lurk",
     "demo/mastermind.lurk",
+    "demo/mini-mastermind.lurk",
+    "demo/microbank.lurk",
     "demo/protocol.lurk",
     "lib/tests.lurk",
 ])
@@ -70,3 +72,69 @@ def test_rand_is_comm(repl):
     from lurk_tpu.core.tag import Tag
     out = repl.process("!(rand)")
     assert out.tag == Tag.BigNum
+
+
+# ---------------------------------------------------------------------------
+# proving metas (VERDICT round-1 item #4): prove / verify / inspect /
+# prove-protocol / verify-protocol, all at the small test FRI config.
+# ---------------------------------------------------------------------------
+
+def test_prove_verify_inspect(repl, capsys):
+    from lurk_tpu.core.tag import Tag
+    repl.process("(+ 40 2)")
+    key_z = repl.process("!(prove)")          # proves the last reduction
+    assert key_z.tag == Tag.Str
+    key = repl.zstore.fetch_string(key_z)
+    out = repl.process(f'!(verify "{key}")')
+    assert out == repl.zstore.t
+    repl.process(f'!(inspect "{key}")')
+    printed = capsys.readouterr().out
+    assert "(+ 40 2)" in printed and "42" in printed
+
+
+def test_prove_with_expr_and_cache(repl):
+    # explicit-expression form; proving the same claim twice hits the cache
+    k1 = repl.zstore.fetch_string(repl.process("!(prove (* 6 7))"))
+    k2 = repl.zstore.fetch_string(repl.process("!(prove (* 6 7))"))
+    assert k1 == k2
+    assert repl.process(f'!(verify "{k1}")') == repl.zstore.t
+
+
+def test_verify_rejects_tampered_proof(repl, tmp_path):
+    from lurk_tpu.cli.meta import MetaError
+    from lurk_tpu.cli.data import proofs_dir
+    key = repl.zstore.fetch_string(repl.process("!(prove (+ 1 2))"))
+    p = proofs_dir() / key
+    blob = bytearray(p.read_bytes())
+    blob[len(blob) // 2] ^= 1
+    p.write_bytes(bytes(blob))
+    with pytest.raises(MetaError):
+        repl.process(f'!(verify "{key}")')
+
+
+def test_prove_verify_protocol(repl, tmp_path):
+    repl.process("""
+    !(defprotocol double-protocol (x doubled)
+      (cons
+        (cons (cons (list '* 2 x) (empty-env)) doubled)
+        (lambda () (if (= doubled 0) nil t)))
+      :description "2*x = doubled, nonzero")
+    """)
+    pf = tmp_path / "protocol.proof"
+    repl.process(f'!(prove-protocol double-protocol "{pf}" 21 42)')
+    assert pf.exists()
+    out = repl.process(f'!(verify-protocol double-protocol "{pf}")')
+    assert out == repl.zstore.t
+
+
+def test_verify_protocol_rejects_wrong_claim(repl, tmp_path):
+    from lurk_tpu.cli.meta import MetaError
+    repl.process("""
+    !(defprotocol eq-protocol (a b)
+      (cons
+        (cons (cons (list '+ a 0) (empty-env)) b)
+        (lambda () t)))
+    """)
+    pf = tmp_path / "bad.proof"
+    with pytest.raises(MetaError):
+        repl.process(f'!(prove-protocol eq-protocol "{pf}" 1 2)')
