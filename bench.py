@@ -1,25 +1,33 @@
 #!/usr/bin/env python3
-"""Headline benchmark: Poseidon2 width-24 permutations/sec on one chip.
+"""Headline benchmarks, printed as ONE JSON line.
 
-This is the BASELINE.md north-star metric (>= 10x a 96-core Rust box).
-Baseline estimate for the reference: rayon-parallel Plonky3 Poseidon2-w24 on
-96 cores ~ 25M perms/s (~260k/s/core); no absolute number is published in the
-reference repo (BASELINE.md), so vs_baseline is measured against that figure.
+Two measurements (both BASELINE.md north stars):
 
-The timed region chains permutations on device and ends with a reduced
-checksum transferred to host - this forces full synchronization even on
-remote-device platforms where block_until_ready is unreliable.
+1. Poseidon2 width-24 permutations/sec on one chip. Baseline estimate for
+   the reference: rayon-parallel Plonky3 Poseidon2-w24 on 96 cores ~ 25M
+   perms/s (~260k/s/core); the reference publishes no absolute numbers
+   (BASELINE.md), so vs_baseline is measured against that figure.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+2. End-to-end STARK prove of a 2^20-row fib trace at the PRODUCTION FRI
+   config (100 queries / 16 pow bits) with the device-resident prover
+   (stark/device_prover.py), reported as extra fields: wall seconds (warm,
+   i.e. kernels compiled - the steady-state REPL/server cost) and padded
+   trace cells/s. Skippable with LURK_TPU_BENCH_PROVE=0; guarded so a
+   prove failure never loses the Poseidon line.
+
+The timed Poseidon region chains permutations on device and ends with a
+reduced checksum transferred to host - this forces full synchronization
+even on remote-device platforms where block_until_ready is unreliable.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def main():
+def bench_poseidon():
     import jax
     import jax.numpy as jnp
     from lurk_tpu.field import babybear as bb
@@ -49,21 +57,64 @@ def main():
         return jnp.bitwise_xor.reduce(jnp.bitwise_xor.reduce(x))
 
     x = bb.to_mont(jnp.asarray(states))
-    # warmup: compile + first-transfer warm-up
-    _ = np.asarray(chain(x))
+    _ = np.asarray(chain(x))  # warmup: compile + first-transfer
 
     t0 = time.perf_counter()
-    checksum = np.asarray(chain(x))
+    _ = np.asarray(chain(x))
     dt = time.perf_counter() - t0
+    return batch * iters / dt
 
-    hashes_per_s = batch * iters / dt
+
+def bench_prove():
+    """(prove_seconds_warm, cells, cells_per_s, verified) for 2^20-row fib
+    at the production config on the device prover."""
+    from lurk_tpu.lair.demo import demo_toplevel
+    from lurk_tpu.lair.execute import QueryRecord, Shard
+    from lurk_tpu.lair.native import NativeToplevel
+    from lurk_tpu.lair.trace import FuncChip
+    from lurk_tpu.lair.chips import build_lair_chip_vector, chip_included
+    from lurk_tpu.stark.machine import StarkMachine
+    from lurk_tpu.stark.challenger import Challenger
+    from lurk_tpu.stark.fri import FriConfig
+
+    tl = demo_toplevel()
+    q = QueryRecord(tl)
+    n = (1 << 20) - 8
+    NativeToplevel(tl).execute(tl.func_index["fib"], [n], q)
+    chip = FuncChip.from_name("fib", tl)
+    chips = build_lair_chip_vector(chip)
+    machine = StarkMachine(chips, len(q.expect_public_values()), FriConfig())
+    pk, vk = machine.setup()
+    machine.prove(pk, q, Challenger(), device=True)   # compile warmup
+    t0 = time.perf_counter()
+    proof = machine.prove(pk, q, Challenger(), device=True)
+    dt = time.perf_counter() - t0
+    verified = machine.verify(vk, proof, Challenger())
+    cells = machine._trace_cells(q, None)
+    return dt, cells, cells / dt, bool(verified)
+
+
+def main():
+    os.environ.setdefault("LURK_TPU_XLA_CACHE", "1")
+    hashes_per_s = bench_poseidon()
     baseline = 25e6  # estimated 96-core Rust reference (see docstring)
-    print(json.dumps({
+    line = {
         "metric": "poseidon2_w24_hashes_per_s",
         "value": round(hashes_per_s, 1),
         "unit": "hashes/s",
         "vs_baseline": round(hashes_per_s / baseline, 3),
-    }))
+    }
+    if os.environ.get("LURK_TPU_BENCH_PROVE", "1") != "0":
+        try:
+            secs, cells, cps, ok = bench_prove()
+            line["fib_2e20_prove_s_warm"] = round(secs, 1)
+            line["fib_2e20_prove_cells_per_s"] = round(cps, 1)
+            line["fib_2e20_trace_cells"] = cells
+            line["fib_2e20_verified"] = ok
+            line["fib_2e20_config"] = "production(q=100,pow=16)"
+        except Exception as e:  # never lose the headline line
+            line["fib_2e20_prove_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -171,11 +171,15 @@ def prove(codewords: Dict[int, np.ndarray], config: FriConfig,
 
 
 def verify(proof: FriProof, config: FriConfig, max_log: int,
-           input_value_fn: Callable[[int, int, int], Optional[np.ndarray]],
-           challenger: Challenger) -> bool:
-    """input_value_fn(log_n, index, query_ordinal) -> ext tuple or None:
-    the reduced-opening codeword value at `index` of the size-2^log_n input
-    (None if no input codeword at that size)."""
+           input_values_fn, challenger: Challenger) -> bool:
+    """input_values_fn(log_n, indices (nq,) int64) -> (nq, 4) uint64 array
+    or None: the reduced-opening codeword values at `indices` of the
+    size-2^log_n input (None if no input codeword at that size).
+
+    All per-query work (Merkle pair-row checks, fold arithmetic) is
+    batched across the config.num_queries queries - the verifier's hot
+    loop runs a handful of vectorized native Poseidon2 calls per layer
+    instead of ~queries*depth scalar permutations."""
     num_layers = max_log - config.log_blowup
     if len(proof.layer_roots) != num_layers:
         return False
@@ -188,6 +192,8 @@ def verify(proof: FriProof, config: FriConfig, max_log: int,
         return False
     if any(len(q.steps) != num_layers for q in proof.queries):
         return False
+    if any(len(s.pair_row) != 8 for q in proof.queries for s in q.steps):
+        return False
     betas = []
     for root in proof.layer_roots:
         challenger.observe_many(root)
@@ -198,42 +204,45 @@ def verify(proof: FriProof, config: FriConfig, max_log: int,
     indices = [challenger.sample_bits(max_log) for _ in range(config.num_queries)]
     if indices != list(proof.query_indices):
         return False
-    from ..field.ext import eadd_s, emul_s, esub_s
+    from ..field import ext_np as E
 
-    for qi, (q, query) in enumerate(zip(indices, proof.queries)):
-        v = input_value_fn(max_log, q, qi)
+    P = np.uint64(bb.P)
+    try:
+        v = input_values_fn(max_log, np.asarray(indices, np.int64))
         if v is None:
             return False
-        v = tuple(int(x) for x in v)
-        idx = q
+        v = np.asarray(v, np.uint64) % P
+        idx = np.asarray(indices, np.int64)
         log_n = max_log
-        for layer, (root, step) in enumerate(zip(proof.layer_roots, query.steps)):
-            size = 1 << log_n
-            half = size // 2
+        for layer, root in enumerate(proof.layer_roots):
+            half = 1 << (log_n - 1)
             j = idx % half
-            # check merkle opening of the pair row
-            opening = merkle.Opening([step.pair_row], step.path)
-            if not merkle.verify_opening(root, [half], j, opening):
+            openings = [merkle.Opening([q.steps[layer].pair_row],
+                                       q.steps[layer].path)
+                        for q in proof.queries]
+            if not merkle.verify_openings_batch(root, [half], j, openings):
                 return False
-            row = [int(x) for x in step.pair_row]
-            f_x = tuple(row[:4])
-            f_mx = tuple(row[4:])
-            mine = f_x if idx < half else f_mx
-            if mine != v:
+            rows = np.asarray([[int(x) for x in q.steps[layer].pair_row]
+                               for q in proof.queries], np.uint64)
+            f_x, f_mx = rows[:, :4], rows[:, 4:]
+            mine = np.where((idx < half)[:, None], f_x, f_mx)
+            # strict: opened values must be canonical and match exactly
+            if not (np.all(mine == v) and np.all(rows < P)):
                 return False
-            # fold
             shift = layer_shift(max_log, layer)
-            x_inv = int(_inv_x_half(log_n, shift)[j])
-            two_inv = _TWO_INV
-            s = tuple((a + b_) * two_inv % bb.P for a, b_ in zip(f_x, f_mx))
-            d = tuple((a - b_) * (two_inv * x_inv % bb.P) % bb.P
-                      for a, b_ in zip(f_x, f_mx))
-            v = eadd_s(s, emul_s(betas[layer], d))
+            x_inv = _inv_x_half(log_n, shift)[j]              # (nq,)
+            two_inv = np.uint64(_TWO_INV)
+            s = (f_x + f_mx) % P * two_inv % P
+            d = (f_x + P - f_mx) % P * (two_inv * x_inv % P)[:, None] % P
+            beta = np.broadcast_to(np.asarray(betas[layer], np.uint64),
+                                   d.shape)
+            v = E.eadd(s, E.emul(beta, d))
             idx = j
             log_n -= 1
-            extra = input_value_fn(log_n, idx, qi)
+            extra = input_values_fn(log_n, idx)
             if extra is not None:
-                v = eadd_s(v, tuple(int(x) for x in extra))
-        if v != proof.final_value:
-            return False
-    return True
+                v = E.eadd(v, np.asarray(extra, np.uint64) % P)
+        final = np.asarray(proof.final_value, np.uint64)
+        return bool(np.all(v == final[None, :]))
+    except (OverflowError, ValueError, TypeError):
+        return False

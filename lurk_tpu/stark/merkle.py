@@ -92,6 +92,57 @@ def open_at(tree: MerkleTree, index: int) -> Opening:
     return Opening(rows, path)
 
 
+def verify_openings_batch(root: Digest, heights: List[int],
+                          indices, openings: List["Opening"]) -> bool:
+    """Verify many openings of ONE tree at once (the 100-query verifier
+    path): all Poseidon2 work is batched across queries level-by-level
+    through the native host hasher, turning ~queries*depth scalar
+    permutations into ~depth batched calls. Same acceptance set as
+    verify_opening applied per query."""
+    if not heights or not openings:
+        return False
+    nq = len(openings)
+    if len(indices) != nq:
+        return False
+    order = sorted(range(len(heights)), key=lambda i: -heights[i])
+    max_h = heights[order[0]]
+    depth = max_h.bit_length() - 1
+    for o in openings:
+        if len(o.rows) != len(heights) or len(o.path) != depth:
+            return False
+        for i, h in enumerate(heights):
+            if len(o.rows[i]) != len(openings[0].rows[i]):
+                return False
+
+    def stack_rows(midxs) -> np.ndarray:
+        return np.asarray(
+            [[int(v) % hasher.bb.P for i in midxs for v in o.rows[i]]
+             for o in openings], np.uint64)
+
+    tallest = [i for i in order if heights[i] == max_h]
+    digest = hasher._hash_rows_np(stack_rows(tallest))
+    idx = np.asarray(list(indices), np.int64)
+    if depth:
+        paths = np.asarray([[list(d) for d in o.path] for o in openings],
+                           np.uint64)                       # (nq, depth, 8)
+    level_h = max_h
+    for l in range(depth):
+        sib = paths[:, l]
+        odd = (idx & 1).astype(bool)[:, None]
+        left = np.where(odd, sib, digest.astype(np.uint64))
+        right = np.where(odd, digest.astype(np.uint64), sib)
+        digest = hasher._compress_pairs_np(left, right)
+        idx >>= 1
+        level_h //= 2
+        at_this = [i for i in order if heights[i] == level_h]
+        if at_this:
+            tack = hasher._hash_rows_np(stack_rows(at_this))
+            digest = hasher._compress_pairs_np(digest.astype(np.uint64),
+                                               tack.astype(np.uint64))
+    want = np.asarray(root, np.uint32)
+    return bool(np.all(digest == want[None, :]))
+
+
 def verify_opening(root: Digest, heights: List[int], index: int,
                    opening: Opening) -> bool:
     """Recompute the root from opened rows + sibling path."""

@@ -264,14 +264,20 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
     round_groups = [_group_by_height(rnd) for rnd in lde_lhs]
 
     # per-(round, matrix, point) data reused by every query: alpha powers
-    # and the alpha-folded opened values
+    # and the alpha-folded opened values. One power table for the whole
+    # transcript, sliced per matrix (the per-slice epow_s recompute was a
+    # measurable chunk of verify time).
+    total_w = sum(w * len(points[r][m])
+                  for r in range(len(roots))
+                  for m, w in enumerate(widths[r]))
+    all_apows = ext_powers(alpha, total_w)
     pts_cache: Dict[Tuple[int, int], list] = {}
     alpha_cnt = 0
     for r in range(len(roots)):
         for m, w in enumerate(widths[r]):
             entries = []
             for z, ys in zip(points[r][m], opened[r][m]):
-                apows = ext_powers_from(alpha, alpha_cnt, w)
+                apows = all_apows[alpha_cnt:alpha_cnt + w]
                 alpha_cnt += w
                 y_alpha = tuple(
                     int(v) for v in
@@ -279,64 +285,84 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
                 entries.append((z, apows, y_alpha))
             pts_cache[(r, m)] = entries
 
-    def input_value_fn(log_n: int, index: int, q_ordinal: int):
-        total = None
-        per_round = proof.query_openings[q_ordinal]
-        x = _domain_point(log_n, index)
-        for r in range(len(roots)):
-            # locate the group entry for this size (if any)
-            entry_rows = None
-            for (g_log, midxs), (e_log, opening) in zip(round_groups[r],
-                                                        per_round[r]):
-                if g_log == log_n:
-                    entry_rows = (midxs, opening)
-            group_pos = {m: gi for (g_log, ms) in round_groups[r]
-                         for gi, m in enumerate(ms) if g_log == log_n}
-            for m, w in enumerate(widths[r]):
-                if lde_lhs[r][m] != log_n:
-                    continue
-                if entry_rows is None:
-                    raise VerificationError("missing query opening group")
-                midxs, opening = entry_rows
-                if group_pos[m] >= len(opening.rows):
-                    raise VerificationError("opening rows truncated")
-                row = [int(x_) % bb.P for x_ in opening.rows[group_pos[m]]]
-                if len(row) != w:
-                    raise VerificationError("opened row width mismatch")
-                row_arr = np.asarray(row, U)
-                for z, apows, y_alpha in pts_cache[(r, m)]:
-                    fx = tuple(int(v) for v in
-                               E.escale(apows, row_arr).sum(axis=0) % _P)
-                    num = ext_s.esub_s(fx, y_alpha)
-                    xz = ext_s.esub_s((x, 0, 0, 0), z)
-                    contrib = ext_s.emul_s(num, ext_s.einv_s(xz))
-                    total = contrib if total is None else ext_s.eadd_s(total, contrib)
+    nq = config.num_queries
+
+    def input_values_fn(log_n: int, idx_arr: np.ndarray):
+        """(nq, 4) reduced-opening values at idx_arr for size 2^log_n, or
+        None; vectorized over queries (hot path of the ms-verifier)."""
+        live = [(r, m) for r in range(len(roots))
+                for m in range(len(widths[r])) if lde_lhs[r][m] == log_n]
+        if not live:
+            return None
+        xs = geom_powers(bb.two_adic_generator_s(log_n), 1 << log_n,
+                         GENERATOR)
+        x_ext = E.from_base(xs[idx_arr])                     # (nq, 4)
+        total = np.zeros((len(idx_arr), 4), U)
+        rows_cache: Dict[Tuple[int, int], np.ndarray] = {}
+        for r, m in live:
+            key = (r, m)
+            row_arr = rows_cache.get(key)
+            if row_arr is None:
+                # locate this matrix's slot inside its height group
+                gi = pos = None
+                for g, (g_log, midxs) in enumerate(round_groups[r]):
+                    if g_log == log_n and m in midxs:
+                        gi, pos = g, midxs.index(m)
+                if gi is None:
+                    raise VerificationError("matrix missing from groups")
+                w = widths[r][m]
+                rows = []
+                for per_round in proof.query_openings:
+                    e_log, opening = per_round[r][gi]
+                    if pos >= len(opening.rows) or \
+                            len(opening.rows[pos]) != w:
+                        raise VerificationError("opening rows truncated")
+                    rows.append([int(x_) % bb.P for x_ in opening.rows[pos]])
+                row_arr = np.asarray(rows, U)                # (nq, w)
+                rows_cache[key] = row_arr
+            for z, apows, y_alpha in pts_cache[(r, m)]:
+                fx = np.stack([
+                    (row_arr * apows[None, :, l] % _P).sum(axis=1) % _P
+                    for l in range(4)], axis=1)              # (nq, 4)
+                num = E.esub(fx, np.broadcast_to(
+                    np.asarray(y_alpha, U), fx.shape))
+                xz = E.esub(x_ext, np.broadcast_to(np.asarray(z, U),
+                                                   x_ext.shape))
+                total = E.eadd(total, E.emul(num, E.einv(xz)))
         return total
 
-    # verify merkle openings for every query
-    if len(proof.query_openings) != len(proof.fri_proof.query_indices):
+    # verify merkle openings, batched across queries per (round, group)
+    if len(proof.query_openings) != nq or \
+            len(proof.fri_proof.query_indices) != nq:
         return False
-    for q_ordinal, q in enumerate(proof.fri_proof.query_indices):
-        per_round = proof.query_openings[q_ordinal]
+    for per_round in proof.query_openings:
         if len(per_round) != len(roots):
             return False
+        for r in range(len(roots)):
+            if len(per_round[r]) != len(round_groups[r]):
+                return False
+    q_arr = np.asarray(list(proof.fri_proof.query_indices), np.int64)
+    try:
         for r, rnd_roots in enumerate(roots):
             groups = round_groups[r]
-            if len(per_round[r]) != len(groups) or len(rnd_roots) != len(groups):
+            if len(rnd_roots) != len(groups):
                 return False
-            for (log_H, midxs), root, (e_log, opening) in zip(
-                    groups, rnd_roots, per_round[r]):
-                if e_log != log_H:
-                    return False
-                idx = q % (1 << log_H)
+            for g, ((log_H, midxs), root) in enumerate(zip(groups,
+                                                           rnd_roots)):
+                openings = []
+                for per_round in proof.query_openings:
+                    e_log, opening = per_round[r][g]
+                    if e_log != log_H:
+                        return False
+                    openings.append(opening)
                 heights = [1 << log_H] * len(midxs)
-                if not merkle.verify_opening(root, heights, idx, opening):
+                if not merkle.verify_openings_batch(
+                        root, heights, q_arr % (1 << log_H), openings):
                     return False
 
-    try:
-        return fri.verify(proof.fri_proof, config, max_log, input_value_fn,
+        return fri.verify(proof.fri_proof, config, max_log, input_values_fn,
                           challenger)
-    except VerificationError:
+    except (VerificationError, OverflowError, ValueError, TypeError):
         return False
 
 

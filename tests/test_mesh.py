@@ -1,0 +1,143 @@
+"""Multi-chip mesh coverage (8 virtual CPU devices via conftest):
+every parallel/mesh.py entry point against its single-device oracle, plus
+shard-parallel proving bit-exact vs the single-device prover."""
+
+import numpy as np
+import pytest
+import jax
+
+from lurk_tpu.field import babybear as bb
+from lurk_tpu.parallel import mesh as pmesh
+
+N_DEV = len(jax.devices())
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return pmesh.make_mesh()
+
+
+def test_virtual_mesh_present():
+    assert N_DEV == 8, "conftest must provision 8 virtual devices"
+
+
+def test_sharded_permute_matches_single(mesh8):
+    from lurk_tpu.poseidon import perm
+    rng = np.random.default_rng(1)
+    states = rng.integers(0, bb.P, size=(8 * N_DEV, 24), dtype=np.uint32)
+    out = np.asarray(pmesh.sharded_permute(mesh8, states))
+    ref = np.asarray(perm.permute(states))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_leaf_hash_matches_single(mesh8):
+    from lurk_tpu.stark import hasher
+    rng = np.random.default_rng(2)
+    mat = rng.integers(0, bb.P, size=(4 * N_DEV, 11), dtype=np.uint32)
+    out = np.asarray(pmesh.sharded_leaf_hash(mesh8, mat))
+    ref = np.asarray(hasher.hash_rows(jax.numpy.asarray(mat)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_logup_sum_matches_host(mesh8):
+    rng = np.random.default_rng(3)
+    rows = 16 * N_DEV
+    phi = rng.integers(0, bb.P, size=(rows, 4), dtype=np.uint32)
+    out = np.asarray(pmesh.sharded_logup_sum(mesh8, phi))
+    ref = phi.astype(np.uint64).sum(axis=0) % np.uint64(bb.P)
+    np.testing.assert_array_equal(out.astype(np.uint64), ref)
+
+
+def test_sharded_commit_step(mesh8):
+    from lurk_tpu.stark import hasher
+    rng = np.random.default_rng(4)
+    rows = 8 * N_DEV
+    trace = rng.integers(0, bb.P, size=(rows, 16), dtype=np.uint32)
+    digests, total = pmesh.sharded_commit_step(mesh8, trace)
+    digests = np.asarray(digests)
+    ref = np.asarray(hasher.hash_rows(jax.numpy.asarray(trace)))
+    np.testing.assert_array_equal(digests, ref)
+    ref_total = ref[:, :4].astype(np.uint64).sum(axis=0) % np.uint64(bb.P)
+    np.testing.assert_array_equal(np.asarray(total).astype(np.uint64),
+                                  ref_total)
+
+
+# ---------------------------------------------------------------------------
+# shard-parallel proving
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ack_machine():
+    from tests.test_lair_air import _ackermann_func
+    from lurk_tpu.lair.toplevel import Toplevel
+    from lurk_tpu.lair.execute import QueryRecord, execute_by_name
+    from lurk_tpu.lair.trace import FuncChip
+    from lurk_tpu.lair.chips import build_lair_chip_vector
+    from lurk_tpu.stark.machine import StarkMachine
+    from lurk_tpu.stark.fri import FriConfig
+
+    tl = Toplevel([_ackermann_func()])
+    q = QueryRecord(tl)
+    out = execute_by_name(tl, "ackermann", [2, 7], q)
+    assert out == (17,)
+    chip = FuncChip.from_name("ackermann", tl)
+    chips = build_lair_chip_vector(chip)
+    machine = StarkMachine(chips, len(q.expect_public_values()),
+                           FriConfig(log_blowup=1, num_queries=2, pow_bits=1))
+    return machine, q
+
+
+def test_mesh_prove_bit_exact_and_balanced(ack_machine, mesh8):
+    from lurk_tpu.lair.execute import ShardingConfig
+    from lurk_tpu.stark.challenger import Challenger
+    from lurk_tpu.parallel.shard_prover import (mesh_prove,
+                                                mesh_cumulative_balance)
+
+    machine, q = ack_machine
+    pk, vk = machine.setup()
+    cfg = ShardingConfig(max_shard_size=16)
+    single = machine.prove(pk, q, Challenger(), shard_config=cfg,
+                           device=True)
+    assert len(single.shard_proofs) > 1
+
+    multi = mesh_prove(machine, pk, q, Challenger(),
+                       devices=jax.devices()[:2], shard_config=cfg)
+    assert machine.verify(vk, multi, Challenger())
+
+    # bit-exact vs the single-device device prover: identical transcript
+    assert multi.public_values == single.public_values
+    for sm, ss in zip(multi.shard_proofs, single.shard_proofs):
+        assert sm.index == ss.index
+        assert sm.main_roots == ss.main_roots
+        assert sm.perm_roots == ss.perm_roots
+        assert sm.quotient_roots == ss.quotient_roots
+        assert sm.pcs_proof.opened == ss.pcs_proof.opened
+        assert sm.pcs_proof.fri_proof.layer_roots == \
+            ss.pcs_proof.fri_proof.layer_roots
+
+    # global LogUp balance via the mesh collective
+    assert mesh_cumulative_balance(mesh8, multi.shard_proofs) == (0, 0, 0, 0)
+
+
+def test_mesh_prove_device_order_invariant(ack_machine):
+    """Scheduling shards onto a different device set must not change the
+    proof (transcript determinism across placements)."""
+    from lurk_tpu.lair.execute import ShardingConfig
+    from lurk_tpu.stark.challenger import Challenger
+    from lurk_tpu.parallel.shard_prover import mesh_prove
+
+    machine, q = ack_machine
+    pk, _vk = machine.setup()
+    cfg = ShardingConfig(max_shard_size=16)
+    devs = jax.devices()
+    a = mesh_prove(machine, pk, q, Challenger(), devices=devs[:2],
+                   shard_config=cfg)
+    b = mesh_prove(machine, pk, q, Challenger(), devices=[devs[3], devs[1],
+                                                          devs[2]],
+                   shard_config=cfg)
+    for sa, sb in zip(a.shard_proofs, b.shard_proofs):
+        assert sa.main_roots == sb.main_roots
+        assert sa.pcs_proof.fri_proof.layer_roots == \
+            sb.pcs_proof.fri_proof.layer_roots
+        assert sa.pcs_proof.fri_proof.pow_witness == \
+            sb.pcs_proof.fri_proof.pow_witness
