@@ -224,6 +224,25 @@ class QueryRecord:
         assert self.public_values is not None, "Public values not set"
         return self.public_values
 
+    def stats(self) -> dict:
+        """Query/multiplicity counters (reference MachineRecord::stats,
+        src/lair/execute.rs:139-180): how many memoized queries exist and
+        how often they were looked up - the observability surface for
+        sizing traces and spotting memoization pathologies."""
+        return {
+            "num_funcs": len(self.func_queries),
+            "num_func_queries": sum(len(im) for im in self.func_queries),
+            "sum_func_queries_mults": sum(
+                r.provide.count for im in self.func_queries
+                for r in im.values),
+            "num_mem_tables": len(self.mem_queries),
+            "num_mem_queries": sum(len(im) for im in self.mem_queries),
+            "sum_mem_queries_mults": sum(
+                r.provide.count for im in self.mem_queries
+                for r in im.values),
+            "num_mem_locations": sum(len(im) for im in self.mem_queries),
+        }
+
 
 DEPTH_W = 4
 
@@ -521,3 +540,6 @@ class Shard:
 
     def expect_public_values(self):
         return self.queries.expect_public_values()
+
+    def stats(self) -> dict:
+        return self.queries.stats()

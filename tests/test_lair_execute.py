@@ -327,3 +327,27 @@ def test_consistent_clean():
     assert res1 == res2
     np.testing.assert_array_equal(t1[0], t2[0])
     np.testing.assert_array_equal(t1[1], t2[1])
+
+
+def test_query_record_stats():
+    """stats() counters (reference MachineRecord::stats, execute.rs:139-180)."""
+    from lurk_tpu.lair.demo import demo_toplevel
+    from lurk_tpu.lair.execute import QueryRecord, Shard, execute_by_name
+
+    tl = demo_toplevel()
+    q = QueryRecord(tl)
+    execute_by_name(tl, "factorial", [5], q)
+    s = q.stats()
+    assert s["num_funcs"] == tl.num_funcs()
+    # factorial(5) memoizes 6 queries (5..0)
+    assert s["num_func_queries"] == 6
+    # every query provided once and looked up once except the root
+    assert s["sum_func_queries_mults"] == 6
+    assert s["num_mem_tables"] == 6
+    assert Shard(q).stats() == s
+
+    # repeated lookups raise multiplicities, not query counts
+    execute_by_name(tl, "factorial", [5], q)
+    s2 = q.stats()
+    assert s2["num_func_queries"] == 6
+    assert s2["sum_func_queries_mults"] > s["sum_func_queries_mults"]
