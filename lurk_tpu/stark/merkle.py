@@ -115,9 +115,12 @@ def verify_openings_batch(root: Digest, heights: List[int],
                 return False
 
     def stack_rows(midxs) -> np.ndarray:
-        return np.asarray(
-            [[int(v) % hasher.bb.P for i in midxs for v in o.rows[i]]
-             for o in openings], np.uint64)
+        # np.asarray on the nested lists converts at C speed; values are
+        # reduced mod p exactly like the scalar hash_row_s path. Ints that
+        # overflow uint64 raise OverflowError, caught by the caller.
+        parts = [np.asarray([o.rows[i] for o in openings], np.uint64)
+                 % np.uint64(hasher.bb.P) for i in midxs]
+        return parts[0] if len(parts) == 1 else np.hstack(parts)
 
     tallest = [i for i in order if heights[i] == max_h]
     digest = hasher._hash_rows_np(stack_rows(tallest))
