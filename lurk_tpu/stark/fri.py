@@ -61,6 +61,22 @@ def geom_powers(base: int, n: int, scale: int = 1) -> np.ndarray:
     return out
 
 
+def powers_at(base: int, idx_arr: np.ndarray, scale: int = 1) -> np.ndarray:
+    """scale * base^idx mod p for an (n,) index array - square-and-multiply
+    vectorized over the indices, so the verifier never materializes a full
+    2^log_n power table just to read a handful of entries."""
+    idx = np.asarray(idx_arr, np.uint64)
+    out = np.full(idx.shape, scale % bb.P, U)
+    b = base % bb.P
+    bit = np.uint64(0)
+    while np.any(idx >> bit):
+        mask = ((idx >> bit) & np.uint64(1)).astype(bool)
+        out[mask] = (out[mask] * U(b)) % _P
+        b = (b * b) % bb.P
+        bit += np.uint64(1)
+    return out
+
+
 @lru_cache(maxsize=None)
 def _inv_x_half(log_n: int, shift: int) -> np.ndarray:
     """1/x_i for i < N/2 on the coset shift*K, |K| = 2^log_n."""
@@ -171,15 +187,17 @@ def prove(codewords: Dict[int, np.ndarray], config: FriConfig,
 
 
 def verify(proof: FriProof, config: FriConfig, max_log: int,
-           input_values_fn, challenger: Challenger) -> bool:
+           input_values_fn, challenger: Challenger,
+           multi=None) -> bool:
     """input_values_fn(log_n, indices (nq,) int64) -> (nq, 4) uint64 array
     or None: the reduced-opening codeword values at `indices` of the
     size-2^log_n input (None if no input codeword at that size).
 
     All per-query work (Merkle pair-row checks, fold arithmetic) is
-    batched across the config.num_queries queries - the verifier's hot
-    loop runs a handful of vectorized native Poseidon2 calls per layer
-    instead of ~queries*depth scalar permutations."""
+    batched across the config.num_queries queries. When `multi` (a
+    merkle.MultiVerifier) is given, layer openings are registered on it
+    instead of verified here - the caller runs ALL Merkle work (ours +
+    the commitment rounds') in one joint batched pass at the end."""
     num_layers = max_log - config.log_blowup
     if len(proof.layer_roots) != num_layers:
         return False
@@ -220,7 +238,11 @@ def verify(proof: FriProof, config: FriConfig, max_log: int,
             openings = [merkle.Opening([q.steps[layer].pair_row],
                                        q.steps[layer].path)
                         for q in proof.queries]
-            if not merkle.verify_openings_batch(root, [half], j, openings):
+            if multi is not None:
+                if not multi.add(root, [half], j, openings):
+                    return False
+            elif not merkle.verify_openings_batch(root, [half], j,
+                                                  openings):
                 return False
             rows = np.asarray([[int(x) for x in q.steps[layer].pair_row]
                                for q in proof.queries], np.uint64)

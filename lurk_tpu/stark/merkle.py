@@ -92,58 +92,162 @@ def open_at(tree: MerkleTree, index: int) -> Opening:
     return Opening(rows, path)
 
 
+class _Job:
+    """One tree's batched-opening verification state inside MultiVerifier."""
+
+    __slots__ = ("root", "depth", "idx", "paths", "leaf_mat", "tacks",
+                 "digest")
+
+    def __init__(self, root, heights, indices, openings):
+        nq = len(openings)
+        order = sorted(range(len(heights)), key=lambda i: -heights[i])
+        max_h = heights[order[0]]
+        self.depth = max_h.bit_length() - 1
+        for o in openings:
+            if len(o.rows) != len(heights) or len(o.path) != self.depth:
+                raise VerificationShapeError
+            for i in range(len(heights)):
+                if len(o.rows[i]) != len(openings[0].rows[i]):
+                    raise VerificationShapeError
+
+        def stack_rows(midxs) -> np.ndarray:
+            # np.asarray on the nested lists converts at C speed; values
+            # are reduced mod p exactly like the scalar hash_row_s path.
+            # Ints that overflow uint64 raise OverflowError in the caller.
+            parts = [np.asarray([o.rows[i] for o in openings], np.uint64)
+                     % np.uint64(hasher.bb.P) for i in midxs]
+            return parts[0] if len(parts) == 1 else np.hstack(parts)
+
+        self.root = np.asarray(root, np.uint32)
+        self.leaf_mat = stack_rows([i for i in order
+                                    if heights[i] == max_h])
+        self.idx = np.asarray(list(indices), np.int64)
+        if len(self.idx) != nq:
+            raise VerificationShapeError
+        self.paths = np.asarray(
+            [[list(d) for d in o.path] for o in openings],
+            np.uint64) if self.depth else None              # (nq, depth, 8)
+        # absorbed shorter matrices: step -> stacked row matrix
+        self.tacks = {}
+        level_h = max_h
+        for step in range(self.depth):
+            level_h //= 2
+            at_this = [i for i in order if heights[i] == level_h]
+            if at_this:
+                self.tacks[step] = stack_rows(at_this)
+        self.digest = None
+
+
+class VerificationShapeError(Exception):
+    pass
+
+
+class MultiVerifier:
+    """Joint batched verification of openings across MANY trees: all
+    Poseidon2 work for all registered jobs is concatenated level-by-level
+    into one native hash/compress call per level (and one per leaf-width
+    bucket), turning ~trees*depth under-sized native calls into ~depth
+    full-width ones. Same acceptance set as verify_opening applied per
+    (tree, query)."""
+
+    def __init__(self):
+        self.jobs: List[_Job] = []
+        self.failed = False
+
+    def add(self, root: Digest, heights: List[int], indices,
+            openings: List["Opening"]) -> bool:
+        """Register one tree's openings; returns False on malformed shape
+        (and poisons the whole verification)."""
+        if self.failed:
+            return False
+        if not heights or not openings:
+            self.failed = True
+            return False
+        try:
+            self.jobs.append(_Job(root, heights, indices, openings))
+        except (VerificationShapeError, OverflowError, ValueError,
+                TypeError):
+            self.failed = True
+            return False
+        return True
+
+    @staticmethod
+    def _hash_bucketed(mats: List[np.ndarray]) -> List[np.ndarray]:
+        """Row-hash many (n_i, w_i) matrices, one native call per distinct
+        width."""
+        outs: List[np.ndarray] = [None] * len(mats)
+        by_width = {}
+        for i, m in enumerate(mats):
+            by_width.setdefault(m.shape[1], []).append(i)
+        for w, idxs in by_width.items():
+            stacked = np.concatenate([mats[i] for i in idxs], axis=0)
+            digests = hasher._hash_rows_np(stacked)
+            off = 0
+            for i in idxs:
+                n = mats[i].shape[0]
+                outs[i] = digests[off:off + n]
+                off += n
+        return outs
+
+    @staticmethod
+    def _compress_concat(pairs: List[tuple]) -> List[np.ndarray]:
+        """Compress many (left, right) digest batches in one call."""
+        left = np.concatenate([p[0] for p in pairs], axis=0)
+        right = np.concatenate([p[1] for p in pairs], axis=0)
+        out = hasher._compress_pairs_np(left, right)
+        res, off = [], 0
+        for l, _ in pairs:
+            res.append(out[off:off + l.shape[0]])
+            off += l.shape[0]
+        return res
+
+    def run(self) -> bool:
+        if self.failed:
+            return False
+        if not self.jobs:
+            return True
+        try:
+            for job, d in zip(self.jobs,
+                              self._hash_bucketed([j.leaf_mat
+                                                   for j in self.jobs])):
+                job.digest = d
+            max_depth = max(j.depth for j in self.jobs)
+            for step in range(max_depth):
+                active = [j for j in self.jobs if j.depth > step]
+                pairs = []
+                for j in active:
+                    sib = j.paths[:, step]
+                    odd = (j.idx & 1).astype(bool)[:, None]
+                    dig = j.digest.astype(np.uint64)
+                    pairs.append((np.where(odd, sib, dig),
+                                  np.where(odd, dig, sib)))
+                for j, d in zip(active, self._compress_concat(pairs)):
+                    j.digest = d
+                    j.idx = j.idx >> 1
+                tack_jobs = [j for j in active if step in j.tacks]
+                if tack_jobs:
+                    tacks = self._hash_bucketed([j.tacks[step]
+                                                 for j in tack_jobs])
+                    pairs = [(j.digest.astype(np.uint64),
+                              t.astype(np.uint64))
+                             for j, t in zip(tack_jobs, tacks)]
+                    for j, d in zip(tack_jobs, self._compress_concat(pairs)):
+                        j.digest = d
+            return all(bool(np.all(j.digest == j.root[None, :]))
+                       for j in self.jobs)
+        except (OverflowError, ValueError, TypeError):
+            return False
+
+
 def verify_openings_batch(root: Digest, heights: List[int],
                           indices, openings: List["Opening"]) -> bool:
     """Verify many openings of ONE tree at once (the 100-query verifier
-    path): all Poseidon2 work is batched across queries level-by-level
-    through the native host hasher, turning ~queries*depth scalar
-    permutations into ~depth batched calls. Same acceptance set as
-    verify_opening applied per query."""
-    if not heights or not openings:
+    path). Same acceptance set as verify_opening applied per query; a
+    single-job MultiVerifier under the hood."""
+    mv = MultiVerifier()
+    if not mv.add(root, heights, indices, openings):
         return False
-    nq = len(openings)
-    if len(indices) != nq:
-        return False
-    order = sorted(range(len(heights)), key=lambda i: -heights[i])
-    max_h = heights[order[0]]
-    depth = max_h.bit_length() - 1
-    for o in openings:
-        if len(o.rows) != len(heights) or len(o.path) != depth:
-            return False
-        for i, h in enumerate(heights):
-            if len(o.rows[i]) != len(openings[0].rows[i]):
-                return False
-
-    def stack_rows(midxs) -> np.ndarray:
-        # np.asarray on the nested lists converts at C speed; values are
-        # reduced mod p exactly like the scalar hash_row_s path. Ints that
-        # overflow uint64 raise OverflowError, caught by the caller.
-        parts = [np.asarray([o.rows[i] for o in openings], np.uint64)
-                 % np.uint64(hasher.bb.P) for i in midxs]
-        return parts[0] if len(parts) == 1 else np.hstack(parts)
-
-    tallest = [i for i in order if heights[i] == max_h]
-    digest = hasher._hash_rows_np(stack_rows(tallest))
-    idx = np.asarray(list(indices), np.int64)
-    if depth:
-        paths = np.asarray([[list(d) for d in o.path] for o in openings],
-                           np.uint64)                       # (nq, depth, 8)
-    level_h = max_h
-    for l in range(depth):
-        sib = paths[:, l]
-        odd = (idx & 1).astype(bool)[:, None]
-        left = np.where(odd, sib, digest.astype(np.uint64))
-        right = np.where(odd, digest.astype(np.uint64), sib)
-        digest = hasher._compress_pairs_np(left, right)
-        idx >>= 1
-        level_h //= 2
-        at_this = [i for i in order if heights[i] == level_h]
-        if at_this:
-            tack = hasher._hash_rows_np(stack_rows(at_this))
-            digest = hasher._compress_pairs_np(digest.astype(np.uint64),
-                                               tack.astype(np.uint64))
-    want = np.asarray(root, np.uint32)
-    return bool(np.all(digest == want[None, :]))
+    return mv.run()
 
 
 def verify_opening(root: Digest, heights: List[int], index: int,

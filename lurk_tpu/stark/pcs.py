@@ -32,7 +32,7 @@ from ..field.ntt import GENERATOR, intt, lde as ntt_lde
 from . import fri, merkle
 from .challenger import Challenger
 from .errors import VerificationError
-from .fri import FriConfig, geom_powers
+from .fri import FriConfig, geom_powers, powers_at
 
 U = np.uint64
 _P = U(bb.P)
@@ -289,15 +289,17 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
 
     def input_values_fn(log_n: int, idx_arr: np.ndarray):
         """(nq, 4) reduced-opening values at idx_arr for size 2^log_n, or
-        None; vectorized over queries (hot path of the ms-verifier)."""
+        None; vectorized over queries AND over the live (matrix, point)
+        pairs (hot path of the ms-verifier): one batched extension-field
+        inverse instead of one per pair."""
         live = [(r, m) for r in range(len(roots))
                 for m in range(len(widths[r])) if lde_lhs[r][m] == log_n]
         if not live:
             return None
-        xs = geom_powers(bb.two_adic_generator_s(log_n), 1 << log_n,
-                         GENERATOR)
-        x_ext = E.from_base(xs[idx_arr])                     # (nq, 4)
-        total = np.zeros((len(idx_arr), 4), U)
+        x_ext = E.from_base(powers_at(bb.two_adic_generator_s(log_n),
+                                      idx_arr, GENERATOR))  # (nq, 4)
+        nq_ = len(idx_arr)
+        nums, zs = [], []
         rows_cache: Dict[Tuple[int, int], np.ndarray] = {}
         for r, m in live:
             key = (r, m)
@@ -324,11 +326,17 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
                 fx = np.stack([
                     (row_arr * apows[None, :, l] % _P).sum(axis=1) % _P
                     for l in range(4)], axis=1)              # (nq, 4)
-                num = E.esub(fx, np.broadcast_to(
-                    np.asarray(y_alpha, U), fx.shape))
-                xz = E.esub(x_ext, np.broadcast_to(np.asarray(z, U),
-                                                   x_ext.shape))
-                total = E.eadd(total, E.emul(num, E.einv(xz)))
+                nums.append(E.esub(fx, np.broadcast_to(
+                    np.asarray(y_alpha, U), fx.shape)))
+                zs.append(np.asarray(z, U))
+        k = len(nums)
+        num_all = np.concatenate(nums, axis=0)               # (k*nq, 4)
+        xz_all = E.esub(np.tile(x_ext, (k, 1)),
+                        np.repeat(np.stack(zs), nq_, axis=0))
+        terms = E.emul(num_all, E.einv(xz_all))
+        total = np.zeros((nq_, 4), U)
+        for t in range(k):
+            total = E.eadd(total, terms[t * nq_:(t + 1) * nq_])
         return total
 
     # verify merkle openings, batched across queries per (round, group)
@@ -343,6 +351,11 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
                 return False
     q_arr = np.asarray(list(proof.fri_proof.query_indices), np.int64)
     try:
+        # Register all Merkle openings (commitment rounds + FRI layers) on
+        # one MultiVerifier; the joint run() batches every level's hashing
+        # across ALL trees - the difference between ~500 under-sized native
+        # Poseidon2 calls and ~40 full-width ones per verify.
+        multi = merkle.MultiVerifier()
         for r, rnd_roots in enumerate(roots):
             groups = round_groups[r]
             if len(rnd_roots) != len(groups):
@@ -356,12 +369,14 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
                         return False
                     openings.append(opening)
                 heights = [1 << log_H] * len(midxs)
-                if not merkle.verify_openings_batch(
-                        root, heights, q_arr % (1 << log_H), openings):
+                if not multi.add(root, heights, q_arr % (1 << log_H),
+                                 openings):
                     return False
 
-        return fri.verify(proof.fri_proof, config, max_log, input_values_fn,
-                          challenger)
+        if not fri.verify(proof.fri_proof, config, max_log, input_values_fn,
+                          challenger, multi=multi):
+            return False
+        return multi.run()
     except (VerificationError, OverflowError, ValueError, TypeError):
         return False
 
