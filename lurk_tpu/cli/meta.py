@@ -586,8 +586,13 @@ def _m_verify_protocol(repl, args, path):
 # ---------------------------------------------------------------------------
 
 def _m_debug(repl, args, path):
-    """Text rendering of the debug entries (the reference uses a ratatui
-    TUI; reference: src/core/cli/debug.rs)."""
+    """Interactive viewer over the eval call tree (reference:
+    src/core/cli/debug.rs + repl.rs:350-430). On a TTY: arrow keys
+    navigate, Left/Right jump within a depth, Space/Backspace jump
+    between breakpoints, q quits. Non-interactively: prints the
+    formatted entries."""
+    import sys
+    from .debug import debug_mode, format_debug_data
     entries = repl.queries.debug_data.entries
     if args != repl.zstore.nil:
         (expr,) = _take(repl, args, 1)
@@ -598,13 +603,17 @@ def _m_debug(repl, args, path):
         finally:
             repl.use_native = prev
         entries = repl.queries.debug_data.entries
-    elif not entries:
+    if not entries:
         print("(no debug entries recorded; rerun as !(debug <expr>))")
-    for e in entries[:200]:
-        indent = "  " * e.dbg_depth
-        print(f"{indent}{e.kind} query {e.query_idx}")
-    if len(entries) > 200:
-        print(f"... ({len(entries) - 200} more entries)")
+        return repl.zstore.t
+    data = format_debug_data(repl)
+    if sys.stdin.isatty() and sys.stdout.isatty():
+        debug_mode(data)
+    else:
+        for e in data.entries[:500]:
+            print(e.formatted)
+        if len(data.entries) > 500:
+            print(f"... ({len(data.entries) - 500} more entries)")
     return repl.zstore.t
 
 
