@@ -141,3 +141,33 @@ def test_mesh_prove_device_order_invariant(ack_machine):
             sb.pcs_proof.fri_proof.layer_roots
         assert sa.pcs_proof.fri_proof.pow_witness == \
             sb.pcs_proof.fri_proof.pow_witness
+
+
+def test_mesh_ntt_bit_exact(mesh8):
+    """Distributed four-step NTT (3 all-to-alls) matches the single-device
+    NTT bit-exactly, forward and inverse (SURVEY.md section 5.8)."""
+    import numpy as np
+    from lurk_tpu.field import babybear as bb
+    from lurk_tpu.field.ntt import ntt, intt
+    from lurk_tpu.parallel.ntt_mesh import mesh_ntt, mesh_intt
+
+    rng = np.random.default_rng(11)
+    for log_n, width in ((10, 3), (8, 1), (12, 2)):
+        x = rng.integers(0, bb.P, size=(1 << log_n, width), dtype=np.uint32)
+        want = np.asarray(ntt(x))
+        got = np.asarray(mesh_ntt(mesh8, x))
+        assert np.array_equal(got, want), f"forward mismatch at 2^{log_n}"
+        want_i = np.asarray(intt(x))
+        got_i = np.asarray(mesh_intt(mesh8, x))
+        assert np.array_equal(got_i, want_i), f"inverse mismatch at 2^{log_n}"
+
+
+def test_mesh_ntt_roundtrip(mesh8):
+    import numpy as np
+    from lurk_tpu.field import babybear as bb
+    from lurk_tpu.parallel.ntt_mesh import mesh_ntt, mesh_intt
+
+    rng = np.random.default_rng(12)
+    x = rng.integers(0, bb.P, size=(1 << 9, 2), dtype=np.uint32)
+    back = np.asarray(mesh_intt(mesh8, np.asarray(mesh_ntt(mesh8, x))))
+    assert np.array_equal(back, x)
