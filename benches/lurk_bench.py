@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--pow-bits", type=int, default=16)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (default: platform auto)")
+    ap.add_argument("--jax-profile", metavar="DIR", default=None,
+                    help="capture a JAX profiler trace of the prove phase "
+                         "into DIR (view with tensorboard/xprof; "
+                         "SURVEY.md section 5.1 profiling parity)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -127,8 +131,17 @@ def main():
     pk, vk = machine.setup()
     emit("setup", time.perf_counter() - t0)
 
+    if args.jax_profile:
+        import contextlib
+        import jax
+        profile_ctx = jax.profiler.trace(args.jax_profile)
+    else:
+        import contextlib
+        profile_ctx = contextlib.nullcontext()
+
     t0 = time.perf_counter()
-    proof = machine.prove(pk, queries, Challenger())
+    with profile_ctx:
+        proof = machine.prove(pk, queries, Challenger())
     dt_prove = time.perf_counter() - t0
     emit("prove", dt_prove, cells=cells, cells_per_s=round(cells / dt_prove, 1))
 

@@ -29,8 +29,18 @@ _P = U(P)
 
 
 def batch_inv(a: np.ndarray) -> np.ndarray:
-    """Vectorized a^(p-2) mod p; maps 0 -> 0."""
+    """Vectorized a^(p-2) mod p; maps 0 -> 0. Large batches route through
+    the threaded C++ kernel (same algorithm, bit-exact; the numpy ladder
+    was ~3s of a fib-2^20 trace generation)."""
     a = a.astype(U) % _P
+    if a.size >= (1 << 12):
+        from . import native
+        if native.native_available():
+            try:
+                shape = a.shape
+                return native.batch_inv64(a.reshape(-1)).reshape(shape)
+            except Exception:
+                pass
     result = np.ones_like(a)
     base = a.copy()
     e = P - 2

@@ -202,22 +202,36 @@ def dtree_commit(mats: list) -> DTree:
 def dtree_open_many(tree: DTree, indices: List[int]):
     """Returns (rows (nq, total_w) np, paths (nq, depth, 8) np).
 
-    Eager gathers: XLA caches the tiny gather kernels per shape, and the
-    host-resident top levels index directly in numpy."""
+    Eager device gathers (XLA caches the tiny gather kernels per shape);
+    host-resident top levels index directly in numpy. All device-side
+    results ride ONE device->host transfer: the axon tunnel costs
+    ~35-45ms of fixed latency per transfer, so per-level downloads
+    dominated warm prove time (~12s of a 35s fib-2^20 prove)."""
     depth = len(tree.levels) - 1
+    nq = len(indices)
     idx_np = np.asarray(indices, np.int64)
-    rows = np.asarray(tree.concat[jnp.asarray(idx_np)])
-    paths = []
+    dev_parts = [tree.concat[jnp.asarray(idx_np)]]   # rows first
+    paths: List[Optional[np.ndarray]] = []
+    dev_slots = []
     idx = idx_np
     for level in tree.levels[:depth]:
         sib = idx ^ 1
         if isinstance(level, np.ndarray):
             paths.append(level[sib].astype(np.uint32))
         else:
-            paths.append(np.asarray(level[jnp.asarray(sib)]))
+            dev_slots.append(len(paths))
+            paths.append(None)
+            dev_parts.append(level[jnp.asarray(sib)])
         idx = idx >> 1
+    joined = np.asarray(jnp.concatenate(
+        [p.astype(jnp.uint32) for p in dev_parts], axis=1)) \
+        if len(dev_parts) > 1 else np.asarray(dev_parts[0])
+    total_w = int(tree.concat.shape[1])
+    rows = joined[:, :total_w]
+    for k, slot in enumerate(dev_slots):
+        paths[slot] = joined[:, total_w + 8 * k: total_w + 8 * (k + 1)]
     path_arr = np.stack(paths, axis=1) if depth else \
-        np.zeros((len(indices), 0, 8), np.uint32)
+        np.zeros((nq, 0, 8), np.uint32)
     return rows, path_arr
 
 
