@@ -30,7 +30,13 @@ _ERR = Ptr(Tag.Err, 0)
 
 
 class _LurkEvalRules(Program):
-    """Shared relations + evaluation rules of both Loam programs."""
+    """Shared relations + evaluation rules of both Loam programs.
+
+    NOTE: the Allocator snapshots the ZStore's hash caches at
+    construction (the reference's `import_zstore`); intern every input
+    expression BEFORE constructing the program, or re-run
+    `self.allocator.import_zstore(zstore)` after further interning -
+    ingress can only unhash digests the allocator has seen."""
 
     def __init__(self, zstore):
         super().__init__()
