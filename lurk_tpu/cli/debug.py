@@ -59,10 +59,10 @@ class FormattedDebugData:
         return next((i for i in reversed(self.breakpoints) if i < idx), None)
 
 
-def format_debug_data(repl) -> FormattedDebugData:
-    """Egress every recorded eval query and render the reference's entry
-    strings. One scratch query record serves all egressions (the
-    reference's tmp_queries_for_egression pattern)."""
+def format_debug_data(repl, limit: Optional[int] = None) -> FormattedDebugData:
+    """Egress every recorded eval query (up to `limit` entries) and render
+    the reference's entry strings. One scratch query record serves all
+    egressions (the reference's tmp_queries_for_egression pattern)."""
     from ..core.zstore import ZPtr
     from ..lair.execute import execute_by_name
 
@@ -87,8 +87,11 @@ def format_debug_data(repl) -> FormattedDebugData:
     eval_queries = repl.queries.func_queries[eval_idx]
     if hasattr(eval_queries, "to_index_map"):
         eval_queries = eval_queries.to_index_map()
+    raw_entries = repl.queries.debug_data.entries
+    if limit is not None:
+        raw_entries = raw_entries[:limit]
     entries = []
-    for entry in repl.queries.debug_data.entries:
+    for entry in raw_entries:
         inp, result = eval_queries.get_index(entry.query_idx)
         expr = egress(inp[0], inp[1])
         if entry.kind == "push":
@@ -111,37 +114,45 @@ _CSI_KEYS = {"A": "up", "B": "down", "C": "right", "D": "left",
 
 
 def _read_keys_tty() -> Iterable[str]:
-    """Decode terminal escape sequences into key names."""
+    """Decode terminal escape sequences into key names. A bare Esc quits
+    immediately (select() distinguishes it from an escape sequence whose
+    continuation bytes arrive together); SS3 sequences (ESC O ...) from
+    application-keypad terminals map like their CSI equivalents."""
+    import select
     import termios
     import tty
 
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
+
+    def pending() -> bool:
+        return bool(select.select([fd], [], [], 0.01)[0])
+
     try:
         tty.setraw(fd)
         while True:
             c = sys.stdin.read(1)
-            if c in ("q", "\x1b"):
-                if c == "\x1b":
-                    nxt = sys.stdin.read(1)
-                    if nxt != "[":
-                        yield "quit"
-                        continue
-                    seq = ""
-                    while True:
-                        ch = sys.stdin.read(1)
-                        seq += ch
-                        if ch.isalpha() or ch == "~":
-                            break
-                    yield _CSI_KEYS.get(seq, "")
-                    continue
+            if c == "q" or c == "\x03":  # q / Ctrl-C
                 yield "quit"
+            elif c == "\x1b":
+                if not pending():
+                    yield "quit"  # bare Esc
+                    continue
+                nxt = sys.stdin.read(1)
+                if nxt not in ("[", "O"):
+                    yield "quit"
+                    continue
+                seq = ""
+                while True:
+                    ch = sys.stdin.read(1)
+                    seq += ch
+                    if ch.isalpha() or ch == "~":
+                        break
+                yield _CSI_KEYS.get(seq, "")
             elif c == " ":
                 yield "space"
             elif c in ("\x7f", "\x08"):
                 yield "backspace"
-            elif c == "\x03":  # Ctrl-C
-                yield "quit"
             else:
                 yield ""
     finally:

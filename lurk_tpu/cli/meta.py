@@ -606,14 +606,15 @@ def _m_debug(repl, args, path):
     if not entries:
         print("(no debug entries recorded; rerun as !(debug <expr>))")
         return repl.zstore.t
-    data = format_debug_data(repl)
     if sys.stdin.isatty() and sys.stdout.isatty():
-        debug_mode(data)
+        debug_mode(format_debug_data(repl))
     else:
-        for e in data.entries[:500]:
+        # format only what will be printed (egression per entry is not free)
+        data = format_debug_data(repl, limit=500)
+        for e in data.entries:
             print(e.formatted)
-        if len(data.entries) > 500:
-            print(f"... ({len(data.entries) - 500} more entries)")
+        if len(entries) > 500:
+            print(f"... ({len(entries) - 500} more entries)")
     return repl.zstore.t
 
 

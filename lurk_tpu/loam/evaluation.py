@@ -812,6 +812,14 @@ class _LurkEvalRules(Program):
                     if op.apply_relop(acc, ecar.addr) == Ptr.t():
                         self.add("ingress", cdr)
                         self.add("bool_fold", expr, env, op, ecar.addr, cdr)
+                    else:
+                        # short-circuit false: return nil. The reference's
+                        # rule set only continues on true and derives NO
+                        # eval fact for e.g. (= 1n 2n 3n)
+                        # (evaluation.rs:1166-1174, acknowledged TODO);
+                        # here the relational evaluator agrees with the
+                        # production evaluator instead.
+                        self.add("eval", expr, env, Ptr.nil())
 
     # -- output (evaluation.rs:1177) -----------------------------------------------------------
 

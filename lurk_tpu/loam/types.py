@@ -192,12 +192,18 @@ class Ptr(NamedTuple):
         return widen(self.tag)
 
     def is_eq(self, other: "Ptr") -> PtrEq:
-        """Shallow equality knowledge (mod.rs:144-166)."""
+        """Shallow equality knowledge (mod.rs:144-166).
+
+        Sym/Builtin addresses are hash-consed one-per-digest by the
+        sym/builtin digest lattices, so address inequality IS content
+        inequality - returning NotEqual here is sound and lets
+        `(eq 'a 'b)` resolve. The reference leaves these Unknown and its
+        eq coroutine never resolves them (mod.rs TODO)."""
         if self == other:
             return PtrEq.Equal
         if self.tag != other.tag:
             return PtrEq.NotEqual
-        if self.tag in (Tag.Num, Tag.Err):
+        if self.tag in (Tag.Num, Tag.Err, Tag.Sym, Tag.Builtin):
             return PtrEq.Equal if self.addr == other.addr else PtrEq.NotEqual
         return PtrEq.Unknown
 

@@ -1005,25 +1005,44 @@ def device_prove(machine, pk, queries, challenger, shard_config=None):
             challenger.observe_many(root)
     challenger.observe_many(pv)
 
+    # Pass 1: commit every shard's main traces and absorb the roots (the
+    # transcript requires all main commitments before any challenge), but
+    # FREE each shard's device-resident round immediately - holding every
+    # shard's mats+coeffs+LDEs+tree at once scales device memory with the
+    # TOTAL trace, defeating sharding (fib-100000 OOM'd a 16GB v5e).
+    # Single-shard proves keep the round and skip the pass-2 recommit.
     shard_chip_lists = []
-    shard_main_rounds = []
+    shard_roots = []
+    single_round = None
     for shard in shards:
         chips = [c for c in machine.chips if chip_included(c, shard)]
         traces_np = [np.asarray(c.generate_trace(shard), np.uint64)
                      for c in chips]
         main_round = dcommit(traces_np)
         shard_chip_lists.append((chips, traces_np))
-        shard_main_rounds.append(main_round)
+        shard_roots.append(main_round.roots)
         for root in main_round.roots:
             challenger.observe_many(root)
+        if len(shards) == 1:
+            single_round = main_round
+        del main_round
 
     shard_proofs = []
-    for shard, (chips, traces_np), main_round in zip(
-            shards, shard_chip_lists, shard_main_rounds):
+    for shard, (chips, traces_np), roots in zip(
+            shards, shard_chip_lists, shard_roots):
+        if single_round is not None:
+            main_round = single_round
+        else:
+            # recommit (deterministic): trades one extra commit per shard
+            # for device memory bounded by a single shard
+            main_round = dcommit(traces_np)
+            assert main_round.roots == roots, \
+                "device main commitment is not deterministic"
         ch = challenger.copy()
         shard_proofs.append(_device_prove_shard(
             machine, pk, prep_round, prep_names, shard, chips, traces_np,
             main_round, pv, pv_dev, ch))
+        del main_round
     return MachineProof(shard_proofs, list(pv))
 
 

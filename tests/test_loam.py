@@ -328,3 +328,21 @@ def test_distillation_summary_lines():
     lines = summary.lines()
     assert lines[0].startswith("Distillation summary")
     assert any("Cons" in ln for ln in lines)
+
+
+def test_relational_short_circuit_false():
+    """A false comparison mid-chain returns nil (the production
+    evaluator's behavior; the reference's rule set derives no output for
+    these - divergence documented in evaluation.py rule_bool_fold)."""
+    check("(= 1n 2n 3n)", "nil")
+    check("(< 3n 1n 2n)", "nil")
+    check("(>= 1n 2n 3n)", "nil")
+
+
+def test_eq_symbols_resolve():
+    """Distinct hash-consed symbols/builtins resolve to NotEqual
+    (divergence from the reference's Unknown documented in types.is_eq)."""
+    check("(eq (quote a) (quote b))", "nil")
+    check("(eq (quote a) (quote a))", "t")
+    check("(eq (quote (a 1n)) (quote (b 1n)))", "nil")
+    check("(eq (quote (a 1n)) (quote (a 1n)))", "t")
