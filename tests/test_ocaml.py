@@ -263,3 +263,47 @@ def test_end_to_end_ocaml(toplevel):
         "else fib (n - 1) + fib (n - 2) in fib 15", "fib15.ml")
     res, zs, st = _eval_ir(toplevel, ir)
     assert _fmt(zs, st, res) == "(0 610)"
+
+
+def test_load_ocaml_meta_with_fake_toolchain(tmp_path, monkeypatch, capsys):
+    """Drive !(load-ocaml) end-to-end without a real OCaml install: a stub
+    `ocamlc` on PATH prints canned -dlambda output to stderr (the real
+    compiler's contract), so the meta command's full pipeline - shell out,
+    parse, transform, evaluate - runs in CI."""
+    import os
+    import stat
+
+    ir = ("(setglobal Fib!\n"
+          "  (let\n"
+          "    (x =\n"
+          "       (letrec\n"
+          "         (fib\n"
+          "            (function n/280 : int\n"
+          "              (if (<= n/280 1) n/280\n"
+          "                (+ (apply fib (- n/280 1)) "
+          "(apply fib (- n/280 2))))))\n"
+          "         (apply fib 15)))\n"
+          "    (makeblock 0 x)))\n")
+    stub = tmp_path / "bin" / "ocamlc"
+    stub.parent.mkdir()
+    stub.write_text("#!/bin/sh\ncat %s >&2\n" % _write_ir(tmp_path, ir))
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{stub.parent}:{os.environ['PATH']}")
+    monkeypatch.setenv("LURK_DIR", str(tmp_path / "lurk-data"))
+
+    src = tmp_path / "fib15.ml"
+    src.write_text("let x = let rec fib n = if n <= 1 then n "
+                   "else fib (n - 1) + fib (n - 2) in fib 15")
+
+    from lurk_tpu.cli.repl import Repl
+    from lurk_tpu.stark.fri import FriConfig
+    repl = Repl(config=FriConfig(log_blowup=1, num_queries=2, pow_bits=1))
+    repl.process(f'!(load-ocaml "{src}")')
+    out = capsys.readouterr().out
+    assert "(0 610)" in out  # fib(15) inside the module block
+
+
+def _write_ir(tmp_path, ir):
+    p = tmp_path / "canned.ir"
+    p.write_text(ir)
+    return p
