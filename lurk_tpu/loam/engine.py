@@ -18,14 +18,14 @@ Differences from ascent, by design:
     naive re-evaluation cannot double-allocate. ascent gets the same
     effect from semi-naive evaluation firing each rule body once.
   * Hash side effects are *batched per round*: rules enqueue preimages
-    with `defer()` and the program's `flush()` hook materializes all of
-    them with one vectorized Poseidon2 batch (the TPU-native analog of
-    the reference calling its hasher once per tuple).
+    into pending relations and the program's `flush()` hook materializes
+    all of them with one vectorized Poseidon2 batch (the TPU-native
+    analog of the reference calling its hasher once per tuple).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, List, Tuple
+from typing import Callable, Dict, Iterable, List
 
 
 class Relation:

@@ -19,7 +19,7 @@ from ..core.state import BUILTIN_SYMBOLS
 from ..core.symbol import builtin_sym, lurk_sym
 from ..core.tag import Tag
 from .allocation import Allocator
-from .types import Ptr, Wide, WidePtr, widen, tag_wide_relation
+from .types import Ptr, Wide, tag_wide_relation
 
 
 class VPtr(Ptr):

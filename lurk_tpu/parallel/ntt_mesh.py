@@ -21,7 +21,7 @@ and X read out with k1 fast - the final transpose.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 import jax
