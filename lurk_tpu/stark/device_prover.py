@@ -156,7 +156,6 @@ def ext_mul_scalar(a, t_mont):
 @dataclass
 class DTree:
     widths: List[int]                # per-matrix widths (original order)
-    mats: list                       # device (h, w) canonical uint32
     concat: object                   # device (h, total_w) leaf matrix
     levels: list                     # (h >> k, 8) digests; small tops are np
     root: tuple                      # host tuple of 8 ints
@@ -168,8 +167,12 @@ class DTree:
 _HOST_TOP = 256
 
 
-def dtree_commit(mats: list) -> DTree:
+def dtree_commit(mats: list, concat=None) -> DTree:
     """All matrices must share one power-of-two height (pcs groups them).
+
+    Pass `concat` when the caller already holds the column-concatenation
+    of `mats` (dcommit's group LDE) - re-concatenating would duplicate
+    the whole LDE on device.
 
     Orchestrates eagerly over the hasher's per-shape jits (one Poseidon2
     permutation per compiled unit, shapes shared across trees/levels) -
@@ -179,7 +182,8 @@ def dtree_commit(mats: list) -> DTree:
     h = int(mats[0].shape[0])
     for m in mats:
         assert int(m.shape[0]) == h
-    concat = jnp.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
+    if concat is None:
+        concat = jnp.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
     if h <= _HOST_TOP:
         level = hasher._hash_rows_np(np.asarray(concat, np.uint64))
     else:
@@ -195,8 +199,7 @@ def dtree_commit(mats: list) -> DTree:
             level = hasher.compress_pairs(level[0::2], level[1::2])
         levels.append(level)
     root = tuple(int(x) for x in np.asarray(levels[-1][0]))
-    return DTree([int(m.shape[1]) for m in mats], list(mats), concat,
-                 levels, root)
+    return DTree([int(m.shape[1]) for m in mats], concat, levels, root)
 
 
 def dtree_open_many(tree: DTree, indices: List[int]):
@@ -247,10 +250,29 @@ class DRound:
     trees: List[Tuple[int, DTree]]   # [(log_H, tree)] height desc
     groups: List[Tuple[int, List[int]]]
     group_coeffs: list               # per-group (h, sum_w) coefficient concat
+    widths: List[int] = None         # per-matrix column counts
+    log_heights: List[int] = None    # per-matrix trace log2 heights
+
+    def __post_init__(self):
+        if self.widths is None:
+            self.widths = [int(m.shape[1]) for m in self.matrices]
+        if self.log_heights is None:
+            self.log_heights = [_log2(int(m.shape[0]))
+                                for m in self.matrices]
 
     @property
     def roots(self) -> List[tuple]:
         return [t.root for _, t in self.trees]
+
+    def release_heavy(self):
+        """Drop the per-matrix device buffers not needed for the PCS open
+        (the trees' leaf concats and the group coefficient concats are
+        what openings/evaluations read). On a 16GB chip, keeping
+        mats+ldes+coeffs alive through the open phase OOM'd fib-100000's
+        memory-table shard."""
+        self.matrices = None
+        self.ldes = None
+        self.coeffs = None
 
 
 @partial(jax.jit, static_argnames=("log_h",))
@@ -293,7 +315,9 @@ def dcommit(matrices: list) -> DRound:
             coeffs[i] = cfs[:, off:off + w]
             group_ldes.append(ldes[i])
             off += w
-        trees.append((big_log, dtree_commit(group_ldes)))
+        # group_lde IS the column concat of group_ldes: committing it
+        # directly avoids duplicating the whole LDE on device
+        trees.append((big_log, dtree_commit(group_ldes, concat=group_lde)))
         group_coeffs.append(cfs)
     return DRound(mats, ldes, coeffs, trees, groups, group_coeffs)
 
@@ -740,6 +764,24 @@ def _reduce_fn(H: int, w: int):
     return fn
 
 
+# rows per reduced-opening chunk: bounds the (rows, W_total) Montgomery-
+# product transient to ~rows*W*4B regardless of the LDE height (a full-
+# height reduce over a wide memory-table group OOM'd a 16GB chip)
+_REDUCE_CHUNK = 1 << 19
+
+
+def _reduce_chunked(lde, apows_mont, y_alpha_dev, inv_xz):
+    H, w = int(lde.shape[0]), int(lde.shape[1])
+    if H <= _REDUCE_CHUNK:
+        return _reduce_fn(H, w)(lde, apows_mont, y_alpha_dev, inv_xz)
+    parts = []
+    for start in range(0, H, _REDUCE_CHUNK):
+        end = min(start + _REDUCE_CHUNK, H)
+        parts.append(_reduce_fn(end - start, w)(
+            lde[start:end], apows_mont, y_alpha_dev, inv_xz[start:end]))
+    return jnp.concatenate(parts, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # FRI proving on device (mirrors fri.prove)
 # ---------------------------------------------------------------------------
@@ -879,7 +921,7 @@ def device_open_rounds(rounds: List[DRound],
                 ys_all = device_eval_coeffs_at(gcoeffs, zp_mont)
                 off = 0
                 for i in idxs:
-                    w = int(rnd.matrices[i].shape[1])
+                    w = rnd.widths[i]
                     # a point list may repeat a point (h=1: zeta*g == zeta)
                     for pi, zp in enumerate(rnd_points[i]):
                         if zp == z:
@@ -898,7 +940,7 @@ def device_open_rounds(rounds: List[DRound],
     alpha_cnt = 0
     for ri, (rnd, rnd_points) in enumerate(zip(rounds, points)):
         for mi, pts in enumerate(rnd_points):
-            w = int(rnd.matrices[mi].shape[1])
+            w = rnd.widths[mi]
             for pi in range(len(pts)):
                 offsets[(ri, mi, pi)] = alpha_cnt
                 alpha_cnt += w
@@ -919,7 +961,7 @@ def device_open_rounds(rounds: List[DRound],
                 y_alpha = np.zeros(4, np.uint64)
                 off = 0
                 for i in idxs:
-                    w = int(rnd.matrices[i].shape[1])
+                    w = rnd.widths[i]
                     # duplicate points fold in as summed weight segments:
                     # (f*a1 - y1)/(x-z) + (f*a2 - y2)/(x-z)
                     #   == (f*(a1+a2) - (y1+y2))/(x-z)
@@ -941,7 +983,7 @@ def device_open_rounds(rounds: List[DRound],
                 if inv_xz is None:
                     inv_xz = _inv_xz_fn(H)(_xs_dev(log_H), ext_scalar_dev(z))
                     inv_xz_cache[(log_H, z)] = inv_xz
-                contrib = _reduce_fn(H, W_total)(
+                contrib = _reduce_chunked(
                     lde, apows_mont,
                     ext_scalar_dev(tuple(int(v) for v in y_alpha)), inv_xz)
                 if log_H in ro:
@@ -1081,7 +1123,7 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
     quotient_mats = []
     for i, (chip, builder, has_prep) in enumerate(
             zip(chips, builders, has_preps)):
-        log_h = _log2(int(main_round.matrices[i].shape[0]))
+        log_h = main_round.log_heights[i]
         prep_lde = None
         if has_prep:
             pidx = prep_names.index(chip.name)
@@ -1091,8 +1133,18 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
             pv_dev, r, gamma, alpha, cums[i], log_h)
         quotient_mats.append(chunk)
     quotient_round = dcommit(quotient_mats)
+    del quotient_mats
     for root in quotient_round.roots:
         ch.observe_many(root)
+
+    # nothing past this point reads the per-matrix trace/LDE/coefficient
+    # buffers of this shard's rounds (openings read the trees' leaf
+    # concats + the group coefficient concats): free them, or the open
+    # phase OOMs on memory-table-heavy shards. prep_round is shared
+    # across shards and stays.
+    main_round.release_heavy()
+    perm_round.release_heavy()
+    quotient_round.release_heavy()
 
     zeta = ch.sample_ext()
     zeta2 = ext_scalar.emul_s(zeta, zeta)
@@ -1108,14 +1160,13 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
             if chip_i is None:
                 prep_points.append([zeta])
             else:
-                log_h = _log2(int(main_round.matrices[chip_i].shape[0]))
+                log_h = main_round.log_heights[chip_i]
                 g = bb.two_adic_generator_s(log_h)
                 prep_points.append([zeta, ext_scalar.emul_s(zeta,
                                                             (g, 0, 0, 0))])
         points.append(prep_points)
     main_points = []
-    for m in main_round.matrices:
-        log_h = _log2(int(m.shape[0]))
+    for log_h in main_round.log_heights:
         g = bb.two_adic_generator_s(log_h) if log_h else 1
         zg = ext_scalar.emul_s(zeta, (g, 0, 0, 0))
         main_points.append([zeta, zg])
@@ -1124,13 +1175,12 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
     rounds.append(perm_round)
     points.append([list(p) for p in main_points])
     rounds.append(quotient_round)
-    points.append([[zeta2] for _ in quotient_mats])
+    points.append([[zeta2] for _ in quotient_round.widths])
 
     pcs_proof = device_open_rounds(rounds, points, machine.config, ch)
 
     chip_proofs = [
-        ChipProof(c.name, _log2(int(main_round.matrices[i].shape[0])),
-                  cums[i])
+        ChipProof(c.name, main_round.log_heights[i], cums[i])
         for i, c in enumerate(chips)
     ]
     return ShardProof(shard.index, chip_proofs, main_round.roots,
