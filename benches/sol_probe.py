@@ -45,6 +45,33 @@ def _time_chain(op, x, y, n, reps=3):
     return best
 
 
+def _probe_ntt(log_n: int, width: int):
+    """Sustained butterflies/s of the device NTT kernel (slope method)."""
+    from lurk_tpu.field.ntt import cg_tables_dev, device_ntt
+
+    tables = cg_tables_dev(log_n, False)
+    x = jnp.asarray(np.random.default_rng(0).integers(
+        0, bb.P, size=(1 << log_n, width), dtype=np.uint32))
+
+    def run(n):
+        @jax.jit
+        def chain(v):
+            v = jax.lax.fori_loop(
+                0, n, lambda i, s: device_ntt(s, log_n, False, tables), v)
+            return jnp.bitwise_xor.reduce(jnp.bitwise_xor.reduce(v))
+        np.asarray(chain(x))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(chain(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = run(4), run(36)
+    bflies = (1 << (log_n - 1)) * log_n * width
+    return bflies * 32 / (t2 - t1)
+
+
 def probe(op, elems=1 << 23, n_short=8, n_long=72, seed=0):
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.integers(1, bb.P, size=(elems,), dtype=np.uint32))
@@ -67,6 +94,11 @@ def main():
     results["mont_sqr"] = probe(lambda a, b: bb.mont_sqr(a))
     results["mont_pow7"] = probe(lambda a, b: bb.mont_pow7(a),
                                  n_short=2, n_long=18)
+
+    # NTT kernel throughput: butterflies/s at a production-ish shape.
+    # Each stage does n/2 butterflies (1 mont_mul + fadd + fsub); the
+    # mont_mul-only bound is mont_mul_rate (one per butterfly).
+    results["ntt_2e16_butterflies"] = _probe_ntt(log_n=16, width=8)
 
     # implied Poseidon2-w24 bound from the wide-kernel op mix, per element:
     #   9 external layers: ~110 fadds / 24 elems each
