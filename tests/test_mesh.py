@@ -171,3 +171,18 @@ def test_mesh_ntt_roundtrip(mesh8):
     x = rng.integers(0, bb.P, size=(1 << 9, 2), dtype=np.uint32)
     back = np.asarray(mesh_intt(mesh8, np.asarray(mesh_ntt(mesh8, x))))
     assert np.array_equal(back, x)
+
+
+def test_multihost_mesh_builders():
+    """multihost.py's mesh builders on the single-process virtual mesh
+    (process_count == 1, 8 devices): shapes and axis names only - the
+    distributed initialize itself needs real multi-host hardware."""
+    import jax
+    from lurk_tpu.parallel import multihost
+
+    m = multihost.flat_mesh()
+    assert m.devices.size == len(jax.devices())
+    assert m.axis_names == ("shard",)
+    m2 = multihost.host_chip_mesh()
+    assert m2.devices.shape == (1, len(jax.devices()))
+    assert m2.axis_names == ("host", "shard")
