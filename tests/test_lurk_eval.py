@@ -160,6 +160,128 @@ CASES = [
     # breakpoint passthrough
     ("(breakpoint)", lambda z: z.nil),
     ("(breakpoint (+ 1 1))", lambda z: uint(2)),
+    # -- round-2 additions: the remaining eval_direct.rs cases ---------------
+    ("(- 5 2)", lambda z: uint(3)),
+    ("(/ 6 3)", lambda z: uint(2)),
+    ("(let ((x 0) (y 1)) y)", lambda z: uint(1)),
+    ("(begin 1 2 3)", lambda z: uint(3)),
+    ("(car (cons 0 1))", lambda z: uint(0)),
+    ("(cdr (cons 0 1))", lambda z: uint(1)),
+    ("(strcons 'a' \"bc\")", lambda z: z.intern_string("abc")),
+    ("(char 'a')", lambda z: z.intern_char("a")),
+    ("(u64 97)", lambda z: uint(97)),
+    ("((lambda (x &rest y) (car (cdr y))) 1 2)", lambda z: z.nil),
+    # u64 orderings (test_u64_order1-14)
+    ("(>= 0 1)", lambda z: z.nil),
+    ("(>= 2 1)", lambda z: z.t),
+    ("(<= 0 1)", lambda z: z.t),
+    ("(<= 1 1)", lambda z: z.t),
+    ("(> 0 1)", lambda z: z.nil),
+    ("(> 1 1)", lambda z: z.nil),
+    ("(> 2 1)", lambda z: z.t),
+    ("(< 0 1)", lambda z: z.t),
+    ("(< 1 1)", lambda z: z.nil),
+    ("(< 2 1)", lambda z: z.nil),
+    ("(<= 3844955657946763191 3844955657946763191)", lambda z: z.t),
+    ("(= 0 1)", lambda z: z.nil),
+    ("(= 1 1)", lambda z: z.t),
+    # eq over every atom family (test_eq3-23)
+    ("(eq :a :a)", lambda z: z.t),
+    ("(eq :a :b)", lambda z: z.nil),
+    ("(eq 'a 'b)", lambda z: z.nil),
+    ("(eq nil nil)", lambda z: z.t),
+    ("(eq t t)", lambda z: z.t),
+    ("(eq 'a' 'a')", lambda z: z.t),
+    ("(eq 'a' 'b')", lambda z: z.nil),
+    ("(eq (cons 'a 1) (cons 'a 2))", lambda z: z.nil),
+    ("(eq (cons :a 1) (cons :a 1))", lambda z: z.t),
+    ("(eq (let ((x 1)) (current-env)) (current-env))", lambda z: z.nil),
+    ("(eq 1n 0n)", lambda z: z.nil),
+    ("(eq 1n 1n)", lambda z: z.t),
+    # type-eq/type-eqq remainder (builtins vs syms share Builtin tagging)
+    ("(type-eq 'a t)", lambda z: z.t),
+    ("(type-eq 'cons t)", lambda z: z.nil),
+    ("(type-eqq 2 'a')", lambda z: z.nil),
+    # environment values (test_current_env / test_env_builtin3)
+    ("(let ((a 1)) (current-env))", lambda z: z.intern_env(
+        z.intern_symbol(user_sym("a")), uint(1), z.intern_empty_env())),
+    ("(env (list 'a 1 2))", lambda z: z.intern_env(
+        z.intern_symbol(user_sym("a")),
+        z.intern_list([uint(1), uint(2)]), z.intern_empty_env())),
+    # letrec shadowing subtleties (test_letrec2/3)
+    ("(letrec ((odd? (lambda (n) (if (= n 0) nil (even? (- n 1))))) "
+     "(even? (lambda (n) (if (= n 0) t (odd? (- n 1)))))) "
+     "(let ((even? (lambda (n) 1000))) (odd? 5)))", lambda z: z.t),
+    ("(let ((true t)) "
+     "(letrec ((odd? (lambda (n) (if (= n 0) nil (even? (- n 1))))) "
+     "(even? (lambda (n) (if (= n 0) true (odd? (- n 1)))))) "
+     "(let ((true nil)) (odd? 5))))", lambda z: z.t),
+    # &rest recursion (test_sum) and fib (test_fib)
+    ("(letrec ((sum (lambda (x &rest y) (if y (+ x (apply sum y)) x)))) "
+     "(sum 1 2 3 4 5 6 7 8 9 10))", lambda z: uint(55)),
+    ("(letrec ((fib (lambda (n) (if (= n 0) 0 (if (= n 1) 1 "
+     "(+ (fib (- n 1)) (fib (- n 2)))))))) (fib 10))", lambda z: uint(55)),
+    # builtin-shadowing with &rest (test_shadow5-8)
+    ("((lambda (cons &rest car) (+ cons (car car))) 1 2 5)",
+     lambda z: uint(3)),
+    ("((lambda (&rest &rest) (car &rest)) 1 2 5)", lambda z: uint(1)),
+    ("(let ((&rest (lambda (x) x))) (&rest 1))", lambda z: uint(1)),
+    ("((lambda (x &rest t) (+ x 1)) 1)",
+     lambda z: ZPtr.err(EvalErr.IllegalBindingVar)),
+    ("((lambda (x &rest nil) (+ x 1)) 1)",
+     lambda z: ZPtr.err(EvalErr.IllegalBindingVar)),
+    ("((lambda (&rest y z) z) 1)",
+     lambda z: ZPtr.err(EvalErr.ParamInvalidRest)),
+    ("((lambda (&rest) &rest) 1)",
+     lambda z: ZPtr.err(EvalErr.ParamInvalidRest)),
+    ("(= (comm #0x0) (comm #0x0))",
+     lambda z: ZPtr.err(EvalErr.InvalidArg)),
+    # commitment digests (test_commit/open/secret; digests computed with
+    # OUR hash3 - cross-checked below against the reference's hardcoded
+    # literals, which only match if Poseidon2 is bit-exact end-to-end)
+    ("(commit 123)", lambda z: ZPtr.comm(
+        z.hash3((0,) * 8 + uint(123).flatten()))),
+    ("(open (commit 123))", lambda z: uint(123)),
+    ("(secret (commit 123))", lambda z: ZPtr.big_num((0,) * 8)),
+    ("(bignum (comm #0x0))", lambda z: ZPtr.big_num((0,) * 8)),
+    ("(comm (bignum #c0x0))", lambda z: ZPtr.comm((0,) * 8)),
+    ("(hide (bignum (commit 321)) 123)", lambda z: ZPtr.comm(
+        z.hash3(z.hash3((0,) * 8 + uint(321).flatten())
+                + uint(123).flatten()))),
+    # cross-implementation vectors: the reference's hardcoded digest
+    # literals (eval_direct.rs test_open_raw_roundtrip,
+    # test_func_big_num_app, test_implicit_begin_*) must open/apply here
+    ("(begin (commit 123n) (open "
+     "#c0xaa8db8504fa55b480f3da7a75f3480174f28d683f4c3ac451b7cee488d2fe))",
+     lambda z: ZPtr.num(123)),
+    ("(begin (commit (lambda (x) x)) "
+     "(#0x275439f3606672312cd1fd9caf95cfd5bc05c6b8d224819e2e8ea1a6c5808 42))",
+     lambda z: uint(42)),
+    ("(begin (commit (lambda (x) x)) ((comm "
+     "#0x275439f3606672312cd1fd9caf95cfd5bc05c6b8d224819e2e8ea1a6c5808) 42))",
+     lambda z: uint(42)),
+    ("(let () (commit (lambda (x) x)) "
+     "(#0x275439f3606672312cd1fd9caf95cfd5bc05c6b8d224819e2e8ea1a6c5808 42))",
+     lambda z: uint(42)),
+    ("(letrec () (commit (lambda (x) x)) "
+     "(#0x275439f3606672312cd1fd9caf95cfd5bc05c6b8d224819e2e8ea1a6c5808 42))",
+     lambda z: uint(42)),
+    ("((lambda () (commit (lambda (x) x)) "
+     "(#0x275439f3606672312cd1fd9caf95cfd5bc05c6b8d224819e2e8ea1a6c5808 42)))",
+     lambda z: uint(42)),
+    ("#0xaa8db8504fa55b480f3da7a75f3480174f28d683f4c3ac451b7cee488d2fe",
+     lambda z: ZPtr.big_num(
+         z.hash3((0,) * 8 + ZPtr.num(123).flatten()))),
+    # long-literal big num orderings (test_big_num_order13-16)
+    ("(< #0x17084a3b94580234614c1ebde7dbb24bc3cb26ba2a84d1355c06cca90b8fb7 "
+     "#0x7b4dd31c2678ef3c257cda6a06f0c830aaeab011c2c4e7fa9a27c699550539)",
+     lambda z: z.t),
+    ("(<= #0x17084a3b94580234614c1ebde7dbb24bc3cb26ba2a84d1355c06cca90b8fb7 "
+     "#0x17084a3b94580234614c1ebde7dbb24bc3cb26ba2a84d1355c06cca90b8fb7)",
+     lambda z: z.t),
+    ("(eq #0x17084a3b94580234614c1ebde7dbb24bc3cb26ba2a84d1355c06cca90b8fb7 "
+     "#0x7b4dd31c2678ef3c257cda6a06f0c830aaeab011c2c4e7fa9a27c699550539)",
+     lambda z: z.nil),
 ]
 
 
