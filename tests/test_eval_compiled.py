@@ -123,6 +123,49 @@ CASES = [
     ("(comm #0x0)", "#c0x0"),
     ("(= 'a 'a)", "<Err InvalidArg>"),
     ("(hide (commit 321) 123)", "<Err NotBigNum>"),
+    # round-2 additions: the remaining 2-ary order/eq/arith reference
+    # cases (chained forms stay pinned to the Op::And Todo quirk above)
+    ("(- 5 2)", "3"),
+    ("(/ 6 3)", "2"),
+    ("(+ (* 2 2) (* 2 3))", "10"),
+    ("(= 0 1)", "nil"),
+    ("(= 3844955657946763191 3844955657946763191)", "t"),
+    ("(= 0n 1n)", "nil"),
+    ("(= 1n 1n)", "t"),
+    ("(>= 0 1)", "nil"),
+    ("(>= 2 1)", "t"),
+    ("(<= 0 1)", "t"),
+    ("(<= 2 1)", "nil"),
+    ("(> 1 1)", "nil"),
+    ("(> 2 1)", "t"),
+    ("(< 1 1)", "nil"),
+    ("(< 2 1)", "nil"),
+    ("(< 3844955657946763191 18057789389824918841)", "t"),
+    ("(eq :a :b)", "nil"),
+    ("(eq 'a 'a)", "t"),
+    ("(eq t t)", "t"),
+    ("(eq nil t)", "nil"),
+    ("(eq 'a' 'b')", "nil"),
+    ("(eq \"abc\" \"abc\")", "t"),
+    ("(eq (cons 'a 1) (cons 'a 2))", "nil"),
+    ("(eq 1n 1n)", "t"),
+    ("(> #0x0 #0x1)", "nil"),
+    ("(>= #0x0 #0x1)", "nil"),
+    ("(<= #0x1 #0x1)", "t"),
+    ("(< #0x1 #0x1)", "nil"),
+    ("(= #0x0 #0x1)", "nil"),
+    ("((lambda (x) x) 1)", "1"),
+    ("((lambda (x y z) y) 1 2 3)", "2"),
+    ("((lambda (x) (lambda (y) x)) 1 2)", "1"),
+    ("((lambda () a) 2)", "<Err UnboundVar>"),
+    ("((lambda (x &rest y) (car (cdr y))) 1 2)", "nil"),
+    ("((lambda (x &rest y) (car (cdr y))) 1 2 3)", "3"),
+    ("((lambda (x &rest y) (car (cdr y))) 1 2 3 4)", "3"),
+    ("((lambda (cons &rest car) (+ cons (car car))) 1 2 5)", "3"),
+    ("((lambda (&rest &rest) (car &rest)) 1 2 5)", "1"),
+    ("'(x 1 :foo)", "(.lurk-user.x 1 :foo)"),  # fmt without REPL state
+    ("(/ 1 0)", "<Err DivByZero>"),
+    ("(/ 1n 0n)", "<Err DivByZero>"),
 ]
 
 
