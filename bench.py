@@ -128,6 +128,9 @@ def main():
         env["LURK_TPU_BENCH_REEXEC"] = "1"
         env["JAX_PLATFORMS"] = "cpu"
         env["PYTHONPATH"] = ""
+        # the 2^20-row prove is a device metric; on the CPU fallback it
+        # would run for hours - skip it rather than stall the benchmark
+        env.setdefault("LURK_TPU_BENCH_PROVE", "0")
         print('{"warning": "device backend unreachable; re-running on '
               'CPU fallback"}', flush=True)
         os.execve(sys.executable, [sys.executable,
