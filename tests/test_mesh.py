@@ -87,11 +87,27 @@ def ack_machine():
     return machine, q
 
 
-def test_mesh_prove_bit_exact_and_balanced(ack_machine, mesh8):
+@pytest.fixture(scope="module")
+def mesh_proof_2dev(ack_machine):
+    """One shared 2-device mesh prove (a mesh_prove costs minutes of XLA
+    CPU compiles; both properties below are assertions over the same
+    proof)."""
     from lurk_tpu.lair.execute import ShardingConfig
     from lurk_tpu.stark.challenger import Challenger
-    from lurk_tpu.parallel.shard_prover import (mesh_prove,
-                                                mesh_cumulative_balance)
+    from lurk_tpu.parallel.shard_prover import mesh_prove
+
+    machine, q = ack_machine
+    pk, _vk = machine.setup()
+    cfg = ShardingConfig(max_shard_size=16)
+    return mesh_prove(machine, pk, q, Challenger(),
+                      devices=jax.devices()[:2], shard_config=cfg)
+
+
+def test_mesh_prove_bit_exact_and_balanced(ack_machine, mesh8,
+                                           mesh_proof_2dev):
+    from lurk_tpu.lair.execute import ShardingConfig
+    from lurk_tpu.stark.challenger import Challenger
+    from lurk_tpu.parallel.shard_prover import mesh_cumulative_balance
 
     machine, q = ack_machine
     pk, vk = machine.setup()
@@ -100,8 +116,7 @@ def test_mesh_prove_bit_exact_and_balanced(ack_machine, mesh8):
                            device=True)
     assert len(single.shard_proofs) > 1
 
-    multi = mesh_prove(machine, pk, q, Challenger(),
-                       devices=jax.devices()[:2], shard_config=cfg)
+    multi = mesh_proof_2dev
     assert machine.verify(vk, multi, Challenger())
 
     # bit-exact vs the single-device device prover: identical transcript
@@ -119,7 +134,7 @@ def test_mesh_prove_bit_exact_and_balanced(ack_machine, mesh8):
     assert mesh_cumulative_balance(mesh8, multi.shard_proofs) == (0, 0, 0, 0)
 
 
-def test_mesh_prove_device_order_invariant(ack_machine):
+def test_mesh_prove_device_order_invariant(ack_machine, mesh_proof_2dev):
     """Scheduling shards onto a different device set must not change the
     proof (transcript determinism across placements)."""
     from lurk_tpu.lair.execute import ShardingConfig
@@ -130,8 +145,7 @@ def test_mesh_prove_device_order_invariant(ack_machine):
     pk, _vk = machine.setup()
     cfg = ShardingConfig(max_shard_size=16)
     devs = jax.devices()
-    a = mesh_prove(machine, pk, q, Challenger(), devices=devs[:2],
-                   shard_config=cfg)
+    a = mesh_proof_2dev
     b = mesh_prove(machine, pk, q, Challenger(), devices=[devs[3], devs[1],
                                                           devs[2]],
                    shard_config=cfg)
