@@ -14,7 +14,7 @@ dryrun_multichip and by the sharded prover entry points.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import numpy as np
 import jax
@@ -33,28 +33,37 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+# every helper below caches its jitted callable per (mesh, axis): a fresh
+# jax.jit wrapper per call would discard the compiled-executable cache and
+# re-pay the XLA trace+compile on every invocation (compile time is the
+# dominant wall-time tax on the target hardware)
+
+@lru_cache(maxsize=None)
+def _permute_fn(mesh: Mesh, axis: str):
+    sharding = NamedSharding(mesh, P(axis, None))
+    return jax.jit(pperm.permute, out_shardings=sharding), sharding
+
+
 def sharded_permute(mesh: Mesh, states, axis: str = "shard"):
     """Batch-parallel Poseidon2 permutation: (batch, width) sharded on batch."""
+    fn, sharding = _permute_fn(mesh, axis)
+    return fn(jax.device_put(states, sharding))
+
+
+@lru_cache(maxsize=None)
+def _leaf_hash_fn(mesh: Mesh, axis: str):
     sharding = NamedSharding(mesh, P(axis, None))
-    states = jax.device_put(states, sharding)
-    fn = jax.jit(pperm.permute, out_shardings=sharding)
-    return fn(states)
+    return jax.jit(hasher.hash_rows, out_shardings=sharding), sharding
 
 
 def sharded_leaf_hash(mesh: Mesh, mat, axis: str = "shard"):
     """Row-sharded Merkle leaf hashing: (rows, w) -> (rows, 8) digests."""
-    sharding = NamedSharding(mesh, P(axis, None))
-    mat = jax.device_put(mat, sharding)
-    fn = jax.jit(hasher.hash_rows, out_shardings=sharding)
-    return fn(mat)
+    fn, sharding = _leaf_hash_fn(mesh, axis)
+    return fn(jax.device_put(mat, sharding))
 
 
-def sharded_logup_sum(mesh: Mesh, phi_blocks, axis: str = "shard"):
-    """Global LogUp cumulative sum: per-device partial sums psum'ed over ICI.
-
-    phi_blocks: (rows, 4) base-flattened extension contributions, row-sharded.
-    Returns the (4,) global sum (replicated).
-    """
+@lru_cache(maxsize=None)
+def _logup_sum_fn(mesh: Mesh, axis: str):
     from jax.experimental.shard_map import shard_map
 
     def local_sum(block):
@@ -64,9 +73,17 @@ def sharded_logup_sum(mesh: Mesh, phi_blocks, axis: str = "shard"):
 
     fn = shard_map(local_sum, mesh=mesh,
                    in_specs=P(axis, None), out_specs=P(None))
-    sharding = NamedSharding(mesh, P(axis, None))
-    phi_blocks = jax.device_put(phi_blocks, sharding)
-    return jax.jit(fn)(phi_blocks)
+    return jax.jit(fn), NamedSharding(mesh, P(axis, None))
+
+
+def sharded_logup_sum(mesh: Mesh, phi_blocks, axis: str = "shard"):
+    """Global LogUp cumulative sum: per-device partial sums psum'ed over ICI.
+
+    phi_blocks: (rows, 4) base-flattened extension contributions, row-sharded.
+    Returns the (4,) global sum (replicated).
+    """
+    fn, sharding = _logup_sum_fn(mesh, axis)
+    return fn(jax.device_put(phi_blocks, sharding))
 
 
 def _psum_mod(s, axis):
@@ -98,10 +115,8 @@ def _modsum_axis0(x):
     return x[0]
 
 
-def sharded_commit_step(mesh: Mesh, trace, axis: str = "shard"):
-    """One jitted multi-chip 'prover step' over a row-sharded trace:
-    Poseidon2 leaf hashing of the rows + a LogUp-style psum reduction.
-    Used by the driver's multi-chip dry run."""
+@lru_cache(maxsize=None)
+def _commit_step_fn(mesh: Mesh, axis: str):
     from jax.experimental.shard_map import shard_map
 
     def step(block):
@@ -110,6 +125,12 @@ def sharded_commit_step(mesh: Mesh, trace, axis: str = "shard"):
 
     fn = shard_map(step, mesh=mesh, in_specs=P(axis, None),
                    out_specs=(P(axis, None), P(None)))
-    sharding = NamedSharding(mesh, P(axis, None))
-    trace = jax.device_put(trace, sharding)
-    return jax.jit(fn)(trace)
+    return jax.jit(fn), NamedSharding(mesh, P(axis, None))
+
+
+def sharded_commit_step(mesh: Mesh, trace, axis: str = "shard"):
+    """One jitted multi-chip 'prover step' over a row-sharded trace:
+    Poseidon2 leaf hashing of the rows + a LogUp-style psum reduction.
+    Used by the driver's multi-chip dry run."""
+    fn, sharding = _commit_step_fn(mesh, axis)
+    return fn(jax.device_put(trace, sharding))

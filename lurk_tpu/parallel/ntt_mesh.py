@@ -36,16 +36,11 @@ from ..field.ntt import cg_tables_dev, device_ntt
 def _root_powers_mont(log_n: int, inverse: bool) -> np.ndarray:
     """[w^0 .. w^(n-1)] in Montgomery form for the length-n root w (or its
     inverse): the twiddle table indexed by (j2*k1) mod n."""
-    n = 1 << log_n
+    from ..stark.fri import geom_powers
     w = bb.two_adic_generator_s(log_n)
     if inverse:
         w = bb.inv_s(w)
-    out = np.empty(n, np.uint32)
-    acc = 1
-    for i in range(n):
-        out[i] = acc
-        acc = bb.mul_s(acc, w)
-    return bb.np_to_mont(out)
+    return bb.np_to_mont(geom_powers(w, 1 << log_n))
 
 
 def _split_sizes(log_n: int, n_dev: int):

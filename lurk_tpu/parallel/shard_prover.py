@@ -57,9 +57,19 @@ def mesh_prove(machine, pk, queries, challenger, devices: Optional[list] = None,
     pv_np = np.asarray([int(v) % bb.P for v in pv], np.uint32)
 
     shard_devs = [devices[i % len(devices)] for i in range(len(shards))]
+    # one worker thread per device, each walking its own shards serially:
+    # device memory is bounded by one live shard per chip while work still
+    # overlaps across chips
+    ids_by_dev = {}
+    for i, dev in enumerate(shard_devs):
+        ids_by_dev.setdefault(dev, []).append(i)
+    # when shards outnumber devices, holding every shard's committed round
+    # (mats+LDEs+coeffs+trees) at once scales device memory with the TOTAL
+    # trace - the exact OOM device_prove's two-pass design avoids. Drop the
+    # rounds after the roots are read and recommit in the open phase.
+    keep_rounds = len(shards) <= len(devices)
 
     prep_names: List[str] = []
-    prep_rounds = {}
     if pk.prep_round is not None:
         prep_names = pk.prep_chip_names
         for root in pk.prep_round.roots:
@@ -68,47 +78,56 @@ def mesh_prove(machine, pk, queries, challenger, devices: Optional[list] = None,
 
     # commit phase: per-shard trace gen (host threads) + commit on the
     # shard's device; roots observed in shard order for the transcript
-    def commit_shard(i):
-        shard = shards[i]
-        with jax.default_device(shard_devs[i]):
-            chips = [c for c in machine.chips if chip_included(c, shard)]
-            traces_np = [np.asarray(c.generate_trace(shard), np.uint64)
-                         for c in chips]
-            return chips, traces_np, dcommit(traces_np)
+    committed: List[Optional[tuple]] = [None] * len(shards)
+
+    def commit_dev(dev):
+        with jax.default_device(dev):
+            for i in ids_by_dev[dev]:
+                shard = shards[i]
+                chips = [c for c in machine.chips
+                         if chip_included(c, shard)]
+                traces_np = [np.asarray(c.generate_trace(shard), np.uint64)
+                             for c in chips]
+                rnd = dcommit(traces_np)
+                roots = rnd.roots
+                if not keep_rounds:
+                    rnd = None  # free the device buffers
+                committed[i] = (chips, traces_np, rnd, roots)
 
     with ThreadPoolExecutor(max_workers=len(devices)) as pool:
-        committed = list(pool.map(commit_shard, range(len(shards))))
-    for _, _, main_round in committed:
-        for root in main_round.roots:
+        list(pool.map(commit_dev, ids_by_dev))
+    for _, _, _, roots in committed:
+        for root in roots:
             challenger.observe_many(root)
 
-    # open phase: fully parallel per shard; each fork of the challenger is
-    # identical, so shard proofs are independent of scheduling order
-    def prove_shard(i):
-        shard = shards[i]
-        chips, traces_np, main_round = committed[i]
-        dev = shard_devs[i]
+    # open phase: each fork of the challenger is identical, so shard proofs
+    # are independent of scheduling order; the per-device prep commit is
+    # built once inside the device's own worker (no cross-thread races)
+    shard_proofs: List[Optional[object]] = [None] * len(shards)
+
+    def prove_dev(dev):
         with jax.default_device(dev):
             prep_round = None
             if pk.prep_round is not None:
-                prep_round = prep_rounds.get(dev)
-                if prep_round is None:
-                    prep_round = dcommit(pk.prep_round.matrices)
-                    prep_rounds[dev] = prep_round
-            pv_dev = jnp.asarray(pv_np)
-            ch = challenger.copy()
-            return _device_prove_shard(machine, pk, prep_round, prep_names,
-                                       shard, chips, traces_np, main_round,
-                                       pv, pv_dev, ch)
+                prep_round = dcommit(pk.prep_round.matrices)
+            for i in ids_by_dev[dev]:
+                shard = shards[i]
+                chips, traces_np, main_round, roots = committed[i]
+                if main_round is None:
+                    # recommit (deterministic): one extra commit per shard
+                    # buys device memory bounded by a single shard
+                    main_round = dcommit(traces_np)
+                    assert main_round.roots == roots, \
+                        "device main commitment is not deterministic"
+                pv_dev = jnp.asarray(pv_np)
+                ch = challenger.copy()
+                shard_proofs[i] = _device_prove_shard(
+                    machine, pk, prep_round, prep_names, shard, chips,
+                    traces_np, main_round, pv, pv_dev, ch)
+                committed[i] = None  # release this shard's buffers
 
-    # prep commits are per-device; build them serially first to avoid
-    # duplicate work under the pool, then fan out
-    if pk.prep_round is not None:
-        for dev in dict.fromkeys(shard_devs):
-            with jax.default_device(dev):
-                prep_rounds[dev] = dcommit(pk.prep_round.matrices)
     with ThreadPoolExecutor(max_workers=len(devices)) as pool:
-        shard_proofs = list(pool.map(prove_shard, range(len(shards))))
+        list(pool.map(prove_dev, ids_by_dev))
 
     return MachineProof(shard_proofs, list(pv))
 

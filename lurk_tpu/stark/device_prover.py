@@ -33,10 +33,8 @@ import jax.numpy as jnp
 
 from ..field import babybear as bb
 from ..field import ext as ext_jnp
-from ..field import ext as ext_s  # scalar helpers share the module
 from ..field.ntt import GENERATOR, cg_tables_dev, device_ntt, _shift_powers
 from ..air.symbolic import Add, Col, Const, Mul, Pub, Sel, Sub
-from .device_pipeline import _device_hash_rows, _device_compress
 from .fri import FriConfig, FriProof, FriQuery, FriQueryStep, geom_powers
 from . import pcs as host_pcs
 
@@ -458,18 +456,21 @@ def _perm_fn(builder, h: int, has_prep: bool):
             for inter in batch:
                 ms.append(_d_signed_mult_mont(inter, ctx))     # (h,) mont
                 ds.append(_d_fingerprint_mont(inter, ctx, r_mont, gpows_mont))
-        d_invs = ext_jnp.einv(bb.from_mont(jnp.stack(ds)))     # (n, h, 4)
         cols = []
         total = jnp.zeros((h, 4), U32)
-        k = 0
-        for batch in batches:
-            phi = jnp.zeros((h, 4), U32)
-            for _ in batch:
-                # d_inv (canonical) * m (mont) -> canonical product
-                phi = bb.fadd(phi, bb.mont_mul(d_invs[k], ms[k][:, None]))
-                k += 1
-            cols.append(phi)
-            total = bb.fadd(total, phi)
+        # an interaction-free chip still carries the (all-zero) running-sum
+        # column, matching logup.trace.build_permutation_trace
+        if ds:
+            d_invs = ext_jnp.einv(bb.from_mont(jnp.stack(ds)))  # (n, h, 4)
+            k = 0
+            for batch in batches:
+                phi = jnp.zeros((h, 4), U32)
+                for _ in batch:
+                    # d_inv (canonical) * m (mont) -> canonical product
+                    phi = bb.fadd(phi, bb.mont_mul(d_invs[k], ms[k][:, None]))
+                    k += 1
+                cols.append(phi)
+                total = bb.fadd(total, phi)
         s = mod_cumsum(total, axis=0)
         cols.append(s)
         return jnp.concatenate(cols, axis=1), s[-1]
@@ -479,17 +480,24 @@ def _perm_fn(builder, h: int, has_prep: bool):
     return fn
 
 
-def device_perm_trace(builder, main_dev, prep_dev, pv_dev, r, gamma):
-    """Returns (perm trace device (h, 4(B+1)) canonical, cumulative tuple).
-    Mirrors logup.trace.build_permutation_trace bit-exactly."""
+def device_perm_trace_dev(builder, main_dev, prep_dev, pv_dev, r, gamma):
+    """Returns (perm trace (h, 4(B+1)) canonical, cumulative sum (4,)),
+    both device-resident. Mirrors logup.trace.build_permutation_trace
+    bit-exactly."""
     h = int(main_dev.shape[0])
     max_vals = max((len(i.values) for i in builder.interactions), default=0)
     gpows = gamma_pows_mont(gamma, max_vals)
     r_mont = bb.to_mont(ext_scalar_dev(r))
     fn = _perm_fn(builder, h, prep_dev is not None)
-    trace, s_last = fn(main_dev, prep_dev, pv_dev, r_mont, gpows)
-    cumulative = tuple(int(x) for x in np.asarray(s_last))
-    return trace, cumulative
+    return fn(main_dev, prep_dev, pv_dev, r_mont, gpows)
+
+
+def device_perm_trace(builder, main_dev, prep_dev, pv_dev, r, gamma):
+    """device_perm_trace_dev with the cumulative sum downloaded to a host
+    tuple (one blocking transfer; the shard prover batches these instead)."""
+    trace, s_last = device_perm_trace_dev(builder, main_dev, prep_dev,
+                                          pv_dev, r, gamma)
+    return trace, tuple(int(x) for x in np.asarray(s_last))
 
 
 # ---------------------------------------------------------------------------
@@ -1021,14 +1029,16 @@ def device_open_rounds(rounds: List[DRound],
 # orchestration (mirrors StarkMachine.prove/_prove_shard)
 # ---------------------------------------------------------------------------
 
-def device_prove(machine, pk, queries, challenger, shard_config=None):
+def device_prove(machine, pk, queries, challenger, shard_config=None,
+                 shards=None):
     """Device-resident equivalent of StarkMachine.prove: same transcript,
     same proof object, traces resident on device from commit to FRI."""
     from ..lair.execute import Shard
     from ..lair.chips import chip_included, chip_preprocessed
     from .machine import MachineProof, ShardProof, ChipProof
 
-    shards = Shard(queries, 0, shard_config).shard()
+    if shards is None:
+        shards = Shard(queries, 0, shard_config).shard()
     pv = queries.expect_public_values()
     pv_dev = jnp.asarray(np.asarray([int(v) % bb.P for v in pv], np.uint32))
 
@@ -1101,17 +1111,23 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
     gamma = ch.sample_ext()
 
     perm_mats = []
-    cums = []
+    cum_devs = []
     for chip, builder, main_dev, has_prep in zip(
             chips, builders, main_round.matrices, has_preps):
         prep_dev = None
         if has_prep:
             pidx = prep_names.index(chip.name)
             prep_dev = prep_round.matrices[pidx]
-        perm, cum = device_perm_trace(builder, main_dev, prep_dev, pv_dev,
-                                      r, gamma)
+        perm, cum_dev = device_perm_trace_dev(builder, main_dev, prep_dev,
+                                              pv_dev, r, gamma)
         perm_mats.append(perm)
-        cums.append(cum)
+        cum_devs.append(cum_dev)
+    # one device->host transfer for all cumulative sums (the transcript
+    # consumes them only after the whole chip loop; per-chip np.asarray
+    # would pay the ~40ms tunnel round-trip once per chip)
+    cums = ([tuple(int(x) for x in row)
+             for row in np.asarray(jnp.stack(cum_devs))] if cum_devs else [])
+    del cum_devs
     perm_round = dcommit(perm_mats)
     for root in perm_round.roots:
         ch.observe_many(root)

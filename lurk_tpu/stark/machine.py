@@ -196,6 +196,7 @@ class StarkMachine:
         (tests/test_device_prover.py). Overrides: LURK_TPU_PROVE=device|host
         forces a path; LURK_TPU_DEVICE_MIN_CELLS tunes the auto threshold
         (default 2^22 padded trace cells)."""
+        shards = None
         if device is None:
             import os
             force = os.environ.get("LURK_TPU_PROVE", "").lower()
@@ -210,19 +211,26 @@ class StarkMachine:
                 if device:
                     min_cells = int(os.environ.get(
                         "LURK_TPU_DEVICE_MIN_CELLS", 1 << 22))
-                    device = self._trace_cells(queries,
-                                               shard_config) >= min_cells
+                    # shard once; the chosen prover reuses the split
+                    shards = Shard(queries, 0, shard_config).shard()
+                    device = self._trace_cells(
+                        queries, shard_config, shards=shards) >= min_cells
         if device:
             from .device_prover import device_prove
-            return device_prove(self, pk, queries, challenger, shard_config)
-        return self._prove_host(pk, queries, challenger, shard_config)
+            return device_prove(self, pk, queries, challenger, shard_config,
+                                shards=shards)
+        return self._prove_host(pk, queries, challenger, shard_config,
+                                shards=shards)
 
-    def _trace_cells(self, queries: QueryRecord, shard_config) -> int:
+    def _trace_cells(self, queries: QueryRecord, shard_config,
+                     shards=None) -> int:
         """Total padded main-trace cells over all shards (cheap estimate
         from query counts; no trace materialization)."""
         from ..lair.chips import chip_included
+        if shards is None:
+            shards = Shard(queries, 0, shard_config).shard()
         total = 0
-        for shard in Shard(queries, 0, shard_config).shard():
+        for shard in shards:
             for chip in self.chips:
                 if not chip_included(chip, shard):
                     continue
@@ -235,8 +243,10 @@ class StarkMachine:
         return total
 
     def _prove_host(self, pk: ProvingKey, queries: QueryRecord,
-                    challenger: Challenger, shard_config=None) -> MachineProof:
-        shards = Shard(queries, 0, shard_config).shard()
+                    challenger: Challenger, shard_config=None,
+                    shards=None) -> MachineProof:
+        if shards is None:
+            shards = Shard(queries, 0, shard_config).shard()
         pv = queries.expect_public_values()
 
         if pk.prep_round is not None:
@@ -264,7 +274,7 @@ class StarkMachine:
         return MachineProof(shard_proofs, list(pv))
 
     @staticmethod
-    def _fold_base(builder, ctx, main_lde, prep_lde, pv, sels, weights):
+    def _fold_base(builder, ctx, weights):
         """alpha-fold the base constraints over the quotient coset.
         (A native per-row SSA interpreter was tried and measured ~40%
         slower than numpy's vectorized DAG evaluation - interpretive
@@ -321,8 +331,7 @@ class StarkMachine:
             if n_base:
                 weights = np.stack(
                     [apows[n_total - 1 - i] for i in range(n_base)])
-                folded = self._fold_base(builder, ctx, main_round.ldes[i],
-                                         prep_lde, pv, sels, weights)
+                folded = self._fold_base(builder, ctx, weights)
             else:
                 folded = E.zero((big,))
             for k, cval in enumerate(perm_cvals):

@@ -101,3 +101,30 @@ def test_device_proof_multi_shard():
     assert len(dev.shard_proofs) > 1
     _assert_proofs_equal(host, dev)
     assert machine.verify(vk, dev, Challenger())
+
+
+def test_device_perm_trace_no_interactions():
+    """A chip whose AIR has constraints but zero send/receive interactions
+    still gets the lone (all-zero) running-sum column, matching the host
+    path (regression: jnp.stack on an empty list crashed _perm_fn)."""
+    import jax.numpy as jnp
+    from lurk_tpu.air.symbolic import SymbolicBuilder
+    from lurk_tpu.field import babybear as bb
+    from lurk_tpu.logup.trace import build_permutation_trace
+    from lurk_tpu.stark import device_prover as dp
+
+    builder = SymbolicBuilder(main_width=3)
+    builder.constraints.append(builder.local(0))  # perm path ignores it
+
+    rng = np.random.default_rng(7)
+    main = rng.integers(0, bb.P, size=(8, 3)).astype(np.uint64)
+    r, gamma = (1, 2, 3, 4), (5, 6, 7, 8)
+
+    host_trace, host_cum = build_permutation_trace(builder, main, None,
+                                                   [], r, gamma)
+    dev_trace, dev_cum = dp.device_perm_trace(
+        builder, jnp.asarray(main.astype(np.uint32)), None,
+        jnp.zeros((0,), jnp.uint32), r, gamma)
+    assert host_cum == dev_cum == (0, 0, 0, 0)
+    np.testing.assert_array_equal(np.asarray(dev_trace, np.uint64),
+                                  host_trace)
