@@ -16,9 +16,11 @@ Placement strategy for the prover (SURVEY 2.11):
     the same root/value sequence in the same order (mesh_prove already
     enforces device-order-invariant transcripts, tested in test_mesh).
 
-This module cannot be exercised in a single-host image (the driver's
-8-device virtual mesh validates the sharding code paths instead); it is
-the production entry point wiring.
+Exercised in CI by tests/test_multihost.py: two separate Python
+processes (4 virtual CPU devices each) join through `initialize`, build
+the meshes here, and run the prover's cross-host LogUp psum with Gloo
+standing in for DCN; challenger transcripts are cross-checked between
+the controllers through the coordination service.
 """
 
 from __future__ import annotations
@@ -67,3 +69,132 @@ def flat_mesh(axis: str = "shard") -> Mesh:
     proving at full scale; parallel/shard_prover.mesh_prove consumes it
     unchanged - its transcript discipline is host-count-agnostic)."""
     return Mesh(np.array(jax.devices()), (axis,))
+
+
+def multihost_prove(machine, pk, queries, challenger, shard_config=None,
+                    gather: bool = True, device: bool = False):
+    """DCN-coarse multi-host proving: process p proves shards p, p+P,
+    p+2P, ... (P = process count). Every controller holds the same
+    QueryRecord (deterministic interpreter output; evaluation is cheap
+    next to proving), so the only cross-host traffic is
+
+      1. the main-trace Merkle ROOTS of every shard (allgathered so all
+         controllers absorb the identical transcript in shard order), and
+      2. optionally (`gather=True`) the codec-encoded shard proofs, so
+         every controller returns the same complete MachineProof.
+
+    Proofs are bit-identical to StarkMachine.prove on one host: the
+    transcript absorbs prep roots, public values, then every shard's main
+    roots in shard order, exactly like _prove_host/device_prove
+    (tests/test_multihost.py runs two real processes against the
+    single-process oracle).
+    """
+    from jax.experimental import multihost_utils
+
+    from ..lair.execute import Shard
+    from ..lair.chips import chip_included
+    from ..stark import pcs
+    from ..stark.machine import MachineProof
+    from ..utils import codec
+
+    nproc = jax.process_count()
+    if nproc == 1:
+        return machine.prove(pk, queries, challenger,
+                             shard_config=shard_config, device=device)
+    pid = jax.process_index()
+
+    shards = Shard(queries, 0, shard_config).shard()
+    pv = queries.expect_public_values()
+    own = [i for i in range(len(shards)) if i % nproc == pid]
+    max_own = (len(shards) + nproc - 1) // nproc
+    n_chips = len(machine.chips)
+
+    prep_round_dev = None
+    if pk.prep_round is not None:
+        for root in pk.prep_round.roots:
+            challenger.observe_many(root)
+    challenger.observe_many(pv)
+
+    # commit the shards this host owns
+    if device:
+        from ..stark.device_prover import dcommit
+    committed = {}
+    for i in own:
+        shard = shards[i]
+        chips = [c for c in machine.chips if chip_included(c, shard)]
+        traces = [np.asarray(c.generate_trace(shard), np.uint64)
+                  for c in chips]
+        rnd = dcommit(traces) if device else pcs.commit(traces)
+        committed[i] = (chips, traces, rnd)
+
+    # exchange roots: fixed-shape padded allgather (roots are one
+    # (8,)-digest per height group, <= one per chip - bytes, not matrices)
+    counts = np.zeros(max_own, np.uint32)
+    flat = np.zeros(max_own * n_chips * 8, np.uint32)
+    off = 0
+    for slot, i in enumerate(own):
+        roots = committed[i][2].roots
+        counts[slot] = len(roots)
+        for root in roots:
+            flat[off:off + 8] = np.asarray(root, np.uint32)
+            off += 8
+    all_counts = multihost_utils.process_allgather(counts)
+    all_flat = multihost_utils.process_allgather(flat)
+
+    # absorb every shard's roots in global shard order (identical
+    # challenger state on every controller)
+    offs = [0] * nproc
+    for i in range(len(shards)):
+        p = i % nproc
+        for _ in range(int(all_counts[p][i // nproc])):
+            o = offs[p]
+            challenger.observe_many(
+                tuple(int(x) for x in all_flat[p][o:o + 8]))
+            offs[p] = o + 8
+
+    # prove the owned shards from identical challenger forks
+    if device:
+        from ..stark.device_prover import _device_prove_shard
+        import jax.numpy as jnp
+        from ..field import babybear as bb
+        pv_dev = jnp.asarray(
+            np.asarray([int(v) % bb.P for v in pv], np.uint32))
+        prep_names = []
+        if pk.prep_round is not None:
+            prep_round_dev = dcommit(pk.prep_round.matrices)
+            prep_names = pk.prep_chip_names
+    local = {}
+    for i in own:
+        chips, traces, rnd = committed[i]
+        ch = challenger.copy()
+        if device:
+            local[i] = _device_prove_shard(
+                machine, pk, prep_round_dev, prep_names, shards[i],
+                chips, traces, rnd, pv, pv_dev, ch)
+        else:
+            local[i] = machine._prove_shard(pk, shards[i], chips, traces,
+                                            rnd, pv, ch)
+        committed[i] = None  # free this shard's round
+
+    if not gather:
+        return local
+
+    # gather encoded shard proofs so every controller assembles the full
+    # MachineProof (padded-bytes allgather; lengths first)
+    blobs = [codec.encode(local[i]) for i in own]
+    lens = np.zeros(max_own, np.uint64)
+    for slot, b in enumerate(blobs):
+        lens[slot] = len(b)
+    all_lens = multihost_utils.process_allgather(lens)
+    maxlen = int(all_lens.max()) if len(shards) else 0
+    buf = np.zeros((max_own, max(maxlen, 1)), np.uint8)
+    for slot, b in enumerate(blobs):
+        buf[slot, :len(b)] = np.frombuffer(b, np.uint8)
+    all_bufs = multihost_utils.process_allgather(buf)
+
+    sps = []
+    for i in range(len(shards)):
+        p, slot = i % nproc, i // nproc
+        n = int(all_lens[p][slot])
+        sps.append(codec.decode(bytes(all_bufs[p][slot][:n])))
+    return MachineProof(sps, list(pv))
