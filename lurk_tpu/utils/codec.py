@@ -203,7 +203,13 @@ def _dec(r: _Reader, depth: int = 0) -> Any:
             raise CodecError("too many dims")
         shape = tuple(r.u64() for _ in range(ndim))
         nb = r.u64()
-        expected = int(np.prod(shape, dtype=np.uint64)) * np.dtype(dt).itemsize
+        # exact product in python ints: a uint64 np.prod can wrap for
+        # attacker-chosen dims, letting a bogus shape pass the size check
+        expected = np.dtype(dt).itemsize
+        for d in shape:
+            if d > (1 << 33):
+                raise CodecError("dim too large")
+            expected *= d
         if nb != expected or nb > (1 << 33):
             raise CodecError("ndarray size mismatch")
         return np.frombuffer(r.take(nb), dtype=dt).reshape(shape).copy()
@@ -228,7 +234,15 @@ def encode(obj: Any) -> bytes:
 
 def decode(buf: bytes) -> Any:
     r = _Reader(buf)
-    obj = _dec(r)
+    try:
+        obj = _dec(r)
+    except CodecError:
+        raise
+    except (ValueError, TypeError, OverflowError, struct.error,
+            UnicodeDecodeError) as e:
+        # malformed input must surface as CodecError, never as a stray
+        # exception a network handler's narrow `except CodecError` misses
+        raise CodecError(f"malformed input: {e}") from e
     if r.pos != len(buf):
         raise CodecError("trailing bytes")
     return obj

@@ -169,3 +169,27 @@ def test_zptr_zdag_roundtrip():
     assert back.zptr == z
     assert back.zdag.entries == dag.entries
     assert hash(back.zptr) == hash(z)
+
+
+def test_codec_malformed_input_is_codec_error():
+    """Every malformed payload must raise CodecError (the microchain
+    handler catches exactly that), never a stray ValueError /
+    UnicodeDecodeError, and never allocate from a wrapped shape product."""
+    import struct as _struct
+
+    cases = [
+        b"",                                   # empty
+        b"\x05" + _struct.pack(">I", 2) + b"\xff\xfe",  # invalid utf-8
+        b"\xf3",                               # unknown tag
+        b"\x03\x00",                           # truncated i64
+    ]
+    # ndarray whose u64 shape product wraps to 0: dims (2^32, 2^32),
+    # nb=0 — np.prod(dtype=uint64) would accept it, reshape would raise
+    # ValueError out of a naive decoder
+    wrap = bytearray(b"\x0au4\x02")
+    wrap += _struct.pack(">Q", 1 << 32) + _struct.pack(">Q", 1 << 32)
+    wrap += _struct.pack(">Q", 0)
+    cases.append(bytes(wrap))
+    for payload in cases:
+        with pytest.raises(codec.CodecError):
+            codec.decode(payload)
