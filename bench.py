@@ -143,6 +143,10 @@ def main():
         "unit": "hashes/s",
         "vs_baseline": round(hashes_per_s / baseline, 3),
     }
+    if os.environ.get("LURK_TPU_BENCH_REEXEC") == "1":
+        # make the record honest: this number is the CPU fallback, not
+        # the TPU (see BENCHMARKS.md for the last measured TPU figures)
+        line["backend"] = "cpu-fallback(dead device tunnel)"
     if os.environ.get("LURK_TPU_BENCH_PROVE", "1") != "0":
         try:
             secs, cells, cps, ok = bench_prove()

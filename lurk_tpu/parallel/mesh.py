@@ -64,7 +64,7 @@ def sharded_leaf_hash(mesh: Mesh, mat, axis: str = "shard"):
 
 @lru_cache(maxsize=None)
 def _logup_sum_fn(mesh: Mesh, axis: str):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local_sum(block):
         # modular tree-sum of the local rows, then a psum-safe cross-device
@@ -117,7 +117,7 @@ def _modsum_axis0(x):
 
 @lru_cache(maxsize=None)
 def _commit_step_fn(mesh: Mesh, axis: str):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def step(block):
         digests = hasher.hash_rows(block)

@@ -60,7 +60,7 @@ def mesh_ntt(mesh: Mesh, x, inverse: bool = False, axis: str = "shard"):
     try:
         from jax.shard_map import shard_map  # jax >= 0.8 public name
     except ImportError:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
     n, width = x.shape
     log_n = n.bit_length() - 1
