@@ -1098,22 +1098,52 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
     return MachineProof(shard_proofs, list(pv))
 
 
+def _host_chip_min_rows() -> int:
+    """Chips with fewer trace rows than this run their perm/quotient math
+    on the HOST numpy path (bit-exact oracle) inside the device prover.
+
+    The per-chip perm + quotient kernels jit the chip's full constraint
+    DAG; for a full Lurk machine that is ~47 chips x 2 compiles, minutes
+    of XLA time, while the small chips' math runs in microseconds
+    anywhere. Committing (LDE + Merkle) still happens on device for every
+    chip, so the proof bits are identical either way (the host path IS
+    the tested oracle). Set LURK_TPU_DEVICE_CHIP_MIN_ROWS=0 to force
+    everything through the device kernels (the bit-exactness tests do)."""
+    import os
+    return int(os.environ.get("LURK_TPU_DEVICE_CHIP_MIN_ROWS", 1 << 12))
+
+
 def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
                         traces_np, main_round: DRound, pv, pv_dev, ch):
     from ..lair.chips import chip_preprocessed
-    from .machine import ShardProof, ChipProof
+    from ..logup.trace import build_permutation_trace
+    from .machine import ShardProof, ChipProof, host_quotient_chunk
     from ..field import ext as ext_scalar
+    from ..field.ntt import lde as ntt_lde
 
     builders = [machine.builder_for(c) for c in chips]
     has_preps = [chip_preprocessed(c) is not None for c in chips]
+    min_rows = _host_chip_min_rows()
+    on_host = [int(t.shape[0]) < min_rows for t in traces_np]
 
     r = ch.sample_ext()
     gamma = ch.sample_ext()
 
     perm_mats = []
+    cum_slots: list = [None] * len(chips)   # host tuple | index into devs
     cum_devs = []
-    for chip, builder, main_dev, has_prep in zip(
-            chips, builders, main_round.matrices, has_preps):
+    for i, (chip, builder, main_dev, has_prep) in enumerate(zip(
+            chips, builders, main_round.matrices, has_preps)):
+        if on_host[i]:
+            prep_np = None
+            if has_prep:
+                pidx = prep_names.index(chip.name)
+                prep_np = pk.prep_round.matrices[pidx]
+            perm, cum = build_permutation_trace(builder, traces_np[i],
+                                                prep_np, pv, r, gamma)
+            perm_mats.append(perm)
+            cum_slots[i] = cum
+            continue
         prep_dev = None
         if has_prep:
             pidx = prep_names.index(chip.name)
@@ -1121,13 +1151,16 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
         perm, cum_dev = device_perm_trace_dev(builder, main_dev, prep_dev,
                                               pv_dev, r, gamma)
         perm_mats.append(perm)
+        cum_slots[i] = len(cum_devs)
         cum_devs.append(cum_dev)
-    # one device->host transfer for all cumulative sums (the transcript
-    # consumes them only after the whole chip loop; per-chip np.asarray
-    # would pay the ~40ms tunnel round-trip once per chip)
-    cums = ([tuple(int(x) for x in row)
-             for row in np.asarray(jnp.stack(cum_devs))] if cum_devs else [])
-    del cum_devs
+    # one device->host transfer for all device cumulative sums (the
+    # transcript consumes them only after the whole chip loop; per-chip
+    # np.asarray would pay the ~40ms tunnel round-trip once per chip)
+    dev_cums = np.asarray(jnp.stack(cum_devs)) if cum_devs else None
+    cums = [cum_slots[i] if on_host[i]
+            else tuple(int(x) for x in dev_cums[cum_slots[i]])
+            for i in range(len(chips))]
+    del cum_devs, cum_slots
     perm_round = dcommit(perm_mats)
     for root in perm_round.roots:
         ch.observe_many(root)
@@ -1140,6 +1173,23 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
     for i, (chip, builder, has_prep) in enumerate(
             zip(chips, builders, has_preps)):
         log_h = main_round.log_heights[i]
+        if on_host[i]:
+            prep_lde = None
+            if has_prep:
+                pidx = prep_names.index(chip.name)
+                prep_lde = pk.prep_round.ldes[pidx]
+            # host LDEs of the tiny trace/perm matrices (ntt.lde routes
+            # small heights to numpy); bits match dcommit's device LDEs
+            main_lde = np.asarray(
+                ntt_lde(traces_np[i].astype(np.uint32), LOG_BLOWUP),
+                np.uint64)
+            perm_lde = np.asarray(
+                ntt_lde(np.asarray(perm_mats[i], np.uint32), LOG_BLOWUP),
+                np.uint64)
+            quotient_mats.append(host_quotient_chunk(
+                builder, main_lde, prep_lde, perm_lde, pv, r, gamma,
+                alpha, cums[i], log_h, name=chip.name))
+            continue
         prep_lde = None
         if has_prep:
             pidx = prep_names.index(chip.name)

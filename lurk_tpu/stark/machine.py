@@ -100,6 +100,47 @@ def _sels_at_point(log_h: int, zeta) -> Tuple[dict, tuple]:
     }, zh
 
 
+def host_quotient_chunk(builder, main_lde, prep_lde, perm_lde, pv, r, gamma,
+                        alpha, cum, log_h: int, name: str = "?") -> np.ndarray:
+    """(h, 8) quotient chunk for one chip (host numpy path).
+
+    Folds all base + permutation constraints with descending alpha powers
+    (equivalent to the verifier's Horner), divides by Z_H on the blowup
+    coset, interpolates (intt + unshift), and returns the q0/q1
+    coefficient split evaluated back on the size-h subgroup. The device
+    kernel (device_prover._quotient_fn) must match this bit-exactly; the
+    device prover also calls it directly for small chips, where a
+    per-chip XLA compile would dominate wall time."""
+    log_big = log_h + pcs.LOG_BLOWUP
+    big = 1 << log_big
+    sels, zh = _sels_on_coset(log_h, GENERATOR, log_big)
+    ctx = DomainEvalCtx.with_stride(main_lde, prep_lde, pv, sels,
+                                    1 << pcs.LOG_BLOWUP)
+    perm_cvals = eval_perm_quotient_np(builder, ctx, perm_lde, r, gamma, cum)
+    n_base = len(builder.constraints)
+    n_total = n_base + len(perm_cvals)
+    apows = pcs.ext_powers(alpha, n_total)      # (n_total, 4) ascending
+    if n_base:
+        weights = np.stack([apows[n_total - 1 - i] for i in range(n_base)])
+        folded = StarkMachine._fold_base(builder, ctx, weights)
+    else:
+        folded = E.zero((big,))
+    for k, cval in enumerate(perm_cvals):
+        w = tuple(int(x) for x in apows[n_total - 1 - (n_base + k)])
+        folded = E.eadd(folded, E.emul(E.from_scalar(w, (big,)), cval))
+    inv_zh = E.batch_inv_base(zh)
+    qvals = E.escale(folded, inv_zh)                        # (2h, 4)
+    qc = np.asarray(intt(qvals.astype(np.uint32)), U)       # (2h, 4)
+    inv_shift_pows = geom_powers(bb.inv_s(GENERATOR), big)
+    qc = (qc * inv_shift_pows[:, None]) % _P
+    # deg Q <= 2h-2 always (deg C <= max(3(h-1), 2h-1)); the top
+    # coefficient must vanish
+    assert np.all(qc[-1:] == 0), f"quotient degree overflow for {name}"
+    return np.concatenate([
+        np.asarray(ntt(qc[0::2].astype(np.uint32)), U),
+        np.asarray(ntt(qc[1::2].astype(np.uint32)), U)], axis=1)  # (h, 8)
+
+
 # ---------------------------------------------------------------------------
 # machine
 # ---------------------------------------------------------------------------
@@ -309,52 +350,14 @@ class StarkMachine:
         quotient_mats = []
         for i, (chip, builder, trace, prep) in enumerate(
                 zip(chips, builders, traces, preps)):
-            h = trace.shape[0]
-            log_h = _log2(h)
-            log_big = log_h + pcs.LOG_BLOWUP
-            sels, zh = _sels_on_coset(log_h, GENERATOR, log_big)
+            log_h = _log2(trace.shape[0])
             prep_lde = None
             if prep is not None:
                 pidx = pk.prep_chip_names.index(chip.name)
                 prep_lde = pk.prep_round.ldes[pidx]
-            ctx = DomainEvalCtx.with_stride(
-                main_round.ldes[i], prep_lde, pv, sels, 1 << pcs.LOG_BLOWUP)
-            perm_lde = perm_round.ldes[i]
-            perm_cvals = eval_perm_quotient_np(builder, ctx, perm_lde, r,
-                                               gamma, cums[i])
-            # fold all constraints with descending alpha powers (equivalent
-            # to the verifier's Horner): base part via one matmul
-            n_base = len(builder.constraints)
-            n_total = n_base + len(perm_cvals)
-            apows = pcs.ext_powers(alpha, n_total)  # (n_total, 4) ascending
-            big = 1 << log_big
-            if n_base:
-                weights = np.stack(
-                    [apows[n_total - 1 - i] for i in range(n_base)])
-                folded = self._fold_base(builder, ctx, weights)
-            else:
-                folded = E.zero((big,))
-            for k, cval in enumerate(perm_cvals):
-                w = tuple(int(x) for x in apows[n_total - 1 - (n_base + k)])
-                folded = E.eadd(folded,
-                                E.emul(E.from_scalar(w, (big,)), cval))
-            inv_zh = E.batch_inv_base(zh)
-            qvals = E.escale(folded, inv_zh)               # (2h, 4)
-            # interpolate over the coset: intt then unshift
-            qc = np.asarray(intt(qvals.astype(np.uint32)), U)   # (2h, 4)
-            inv_shift_pows = geom_powers(bb.inv_s(GENERATOR), 1 << log_big)
-            qc = (qc * inv_shift_pows[:, None]) % _P
-            # deg Q <= 2h-2 always (deg C <= max(3(h-1), 2h-1)); the top
-            # coefficient must vanish
-            assert np.all(qc[-1:] == 0), \
-                f"quotient degree overflow for {chip.name}"
-            q0 = qc[0::2]
-            q1 = qc[1::2]
-            # evals on the size-h subgroup for commitment
-            chunk = np.concatenate([
-                np.asarray(ntt(q0.astype(np.uint32)), U),
-                np.asarray(ntt(q1.astype(np.uint32)), U)], axis=1)  # (h, 8)
-            quotient_mats.append(chunk)
+            quotient_mats.append(host_quotient_chunk(
+                builder, main_round.ldes[i], prep_lde, perm_round.ldes[i],
+                pv, r, gamma, alpha, cums[i], log_h, name=chip.name))
 
         quotient_round = pcs.commit(quotient_mats)
         for root in quotient_round.roots:

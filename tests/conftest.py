@@ -12,6 +12,13 @@ var alone is clobbered.
 
 import os
 
+# force every chip through the device perm/quotient kernels: the
+# bit-exactness suites exist to test those kernels, and the small demo
+# machines would otherwise all take the host fast path
+# (device_prover._host_chip_min_rows). The mixed default is covered by
+# test_device_prover.py::test_device_proof_mixed_host_threshold.
+os.environ.setdefault("LURK_TPU_DEVICE_CHIP_MIN_ROWS", "0")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

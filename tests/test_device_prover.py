@@ -128,3 +128,16 @@ def test_device_perm_trace_no_interactions():
     assert host_cum == dev_cum == (0, 0, 0, 0)
     np.testing.assert_array_equal(np.asarray(dev_trace, np.uint64),
                                   host_trace)
+
+
+def test_device_proof_mixed_host_threshold(monkeypatch):
+    """With the default small-chip threshold active, the device prover
+    routes tiny chips' perm/quotient math through the host oracle and
+    still produces the identical proof (and skips their per-chip jits)."""
+    monkeypatch.setenv("LURK_TPU_DEVICE_CHIP_MIN_ROWS", str(1 << 12))
+    machine, q = _setup("factorial", [6], (720,))
+    pk, vk = machine.setup()
+    host = machine.prove(pk, q, Challenger(), device=False)
+    dev = machine.prove(pk, q, Challenger(), device=True)
+    _assert_proofs_equal(host, dev)
+    assert machine.verify(vk, dev, Challenger())
