@@ -1055,18 +1055,13 @@ class DistilledEvaluationProgram(_LurkEvalRules):
             for *_, addr in thunk_by_pair.get((body, env), []):
                 self.add("thunk_rel", body, env, Ptr(Tag.Fix, addr))
 
-    def rule_mem_register(self):
-        # every imported mem row is live (the distilled program trusts the
-        # imported memory wholesale: distilled_evaluation.rs:95-96)
-        for row in self._rels["cons_mem"]:
-            car, cdr, addr = row
-            self.add("cons_rel", car, cdr, Ptr(Tag.Cons, addr))
-        for row in self._rels["fun_mem"]:
-            args, body, env, addr = row
-            self.add("fun_rel", args, body, env, Ptr(Tag.Fun, addr))
-        for row in self._rels["thunk_mem"]:
-            body, env, addr = row
-            self.add("thunk_rel", body, env, Ptr(Tag.Fix, addr))
+    # NOTE: no wholesale mem -> *_rel registration here. The reference's
+    # distilled program derives cons_rel/fun_rel/thunk_rel only on demand
+    # (distilled_evaluation.rs:103-104: cons_rel <-- cons(car, cdr),
+    # cons_mem(car, cdr, addr)) - that is rule_mem_construct above plus
+    # the digest direction in rule_mem_cross_link. Registering every
+    # imported row unconditionally would mask distillation bugs the
+    # second-pass consistency check exists to catch.
 
     def rule_mem_cross_link(self):
         # hash4_rel/hash5_rel <-> ptr_value links (distilled_evaluation.rs

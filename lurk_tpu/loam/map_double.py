@@ -4,6 +4,14 @@ Reference: /root/reference/src/loam/allocation.rs:196-378
 (AllocationProgram): ingress a cons tree of Nums, double every Num,
 cons up the doubled tree, egress its digest. Exercises the full
 allocate/ingress/egress machinery without the Lurk evaluator.
+
+Like the reference - where every `ascent!` program is standalone and
+AllocationProgram restates the alloc/ingress/egress rules that
+evaluation.rs also carries - this program deliberately duplicates the
+flush/cons/cross-link rules from evaluation.py rather than sharing a
+mixin: the point of the pedagogy program is that its full rule set is
+readable in one place, and its rules are pinned to allocation.rs line
+anchors rather than to the evaluator's.
 """
 
 from __future__ import annotations

@@ -167,17 +167,28 @@ class Store:
         if known is not None:
             return known
         tag = Tag(vptr.tag)
+
+        def _row(table):
+            # a compound reachable from an interned parent but never
+            # unhashed has no memory row; fail like the reference's
+            # .expect("dangling virtual pointer") (memory.rs:323-348)
+            # instead of a bare KeyError
+            row = table.get(vptr)
+            if row is None:
+                raise ValueError(f"dangling virtual pointer: {vptr}")
+            return row
+
         if tag == Tag.Cons:
-            vcar, vcdr = memory.cons_mem[vptr]
+            vcar, vcdr = _row(memory.cons_mem)
             ptr = self.intern_tuple2(Tag.Cons, self.intern_ptr(vcar, memory),
                                      self.intern_ptr(vcdr, memory))
         elif tag == Tag.Fun:
-            va, vb, ve = memory.fun_mem[vptr]
+            va, vb, ve = _row(memory.fun_mem)
             ptr = self.intern_tuple3(Tag.Fun, self.intern_ptr(va, memory),
                                      self.intern_ptr(vb, memory),
                                      self.intern_ptr(ve, memory))
         elif tag == Tag.Fix:
-            vb, ve = memory.thunk_mem[vptr]
+            vb, ve = _row(memory.thunk_mem)
             ptr = self.intern_tuple2(Tag.Fix, self.intern_ptr(vb, memory),
                                      self.intern_ptr(ve, memory))
         elif tag in (Tag.Sym, Tag.Num, Tag.Err, Tag.Builtin):

@@ -110,13 +110,20 @@ class _P:
             self.lit("-") or self.lit("+")
             while self.peek().isdigit():
                 self.i += 1
-        return LambdaSyntax.float(float(self.text[start:self.i]))
+        try:
+            return LambdaSyntax.float(float(self.text[start:self.i]))
+        except ValueError:
+            # e.g. "12e" with no exponent digits: a parse error (so the
+            # caller's fallback-literal recovery applies), not a crash
+            self.err(f"malformed float {self.text[start:self.i]!r}")
 
     def _escaped(self, delim: str) -> str:
         c = self.text[self.i]
         self.i += 1
         if c != "\\":
             return c
+        if self.eof():
+            self.err("unterminated escape")
         e = self.text[self.i]
         self.i += 1
         if e in _ESCAPES:

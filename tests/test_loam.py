@@ -346,3 +346,15 @@ def test_eq_symbols_resolve():
     check("(eq (quote a) (quote a))", "t")
     check("(eq (quote (a 1n)) (quote (b 1n)))", "nil")
     check("(eq (quote (a 1n)) (quote (a 1n)))", "t")
+
+
+def test_distill_dangling_child_is_explicit_error():
+    """A compound reachable from an interned parent but never unhashed
+    (e.g. the inner list of a quoted literal that evaluation never takes
+    apart) has no memory row; distillation must fail with the reference's
+    explicit 'dangling virtual pointer' error (memory.rs:323-348), not a
+    bare KeyError."""
+    prog, zstore = run_eval("(car (quote ((1n 2n) 3n)))")
+    vm = prog.export_memory()
+    with pytest.raises(ValueError, match="dangling virtual pointer"):
+        vm.distill(DistillationOptions())

@@ -307,3 +307,18 @@ def _write_ir(tmp_path, ir):
     p = tmp_path / "canned.ir"
     p.write_text(ir)
     return p
+
+
+def test_parser_malformed_inputs_recover_or_error_cleanly():
+    """EOF mid-escape and digits+bare-exponent must surface as parse
+    errors / fallback literals (the reference's nom parser backtracks),
+    never IndexError/ValueError escaping the parser."""
+    from lurk_tpu.ocaml.parser import LambdaParseError, parse_syntax
+
+    for bad in ('"abc\\', '(foo "bad\\'):
+        with pytest.raises(LambdaParseError):
+            parse_syntax(bad)
+    # inside an s-expression the malformed float degrades to a fallback
+    # token instead of aborting the parse
+    out = parse_syntax("(foo 12e)")
+    assert out is not None
