@@ -65,6 +65,22 @@ def repl_history_path() -> Path:
     return lurk_dir() / "repl-history"
 
 
+def random_field_digest() -> tuple:
+    """8 uniform BabyBear elements from OS entropy (reference:
+    src/core/cli/rdg.rs rand_digest). Rejection-sampled: a plain 32-bit
+    draw mod p would make small residues ~1.5x likelier, biasing hiding-
+    commitment secrets."""
+    import secrets as _secrets
+    from ..field.babybear import P
+    limit = (1 << 32) - ((1 << 32) % P)   # largest multiple of p
+    out = []
+    while len(out) < 8:
+        v = int.from_bytes(_secrets.token_bytes(4), "little")
+        if v < limit:
+            out.append(v % P)
+    return tuple(out)
+
+
 # ---------------------------------------------------------------------------
 # ZDag (reference: src/core/cli/zdag.rs)
 # ---------------------------------------------------------------------------
@@ -75,17 +91,25 @@ class ZDag:
     entries: Dict[ZPtr, tuple] = field(default_factory=dict)
 
     def populate_with(self, zptr: ZPtr, zstore: ZStore, cache=None):
+        # iterative post-order walk: long list/string spines exceed
+        # Python's recursion limit around ~1000 cells
         if cache is None:
             cache = set()
-        if zptr in cache:
-            return
-        entry = zstore.dag.get(zptr)
-        assert entry is not None, "Data missing from ZStore's DAG"
-        if entry[0] != ATOM:
+        stack = [(zptr, False)]
+        while stack:
+            node, expanded = stack.pop()
+            if node in cache:
+                continue
+            entry = zstore.dag.get(node)
+            assert entry is not None, "Data missing from ZStore's DAG"
+            if expanded or entry[0] == ATOM:
+                cache.add(node)
+                self.entries[node] = entry
+                continue
+            stack.append((node, True))
             for child in entry[1:]:
-                self.populate_with(child, zstore, cache)
-        cache.add(zptr)
-        self.entries[zptr] = entry
+                if child not in cache:
+                    stack.append((child, False))
 
     def populate_with_many(self, zptrs, zstore: ZStore):
         cache = set()
@@ -99,18 +123,29 @@ class ZDag:
 
     def is_flawed(self, zstore: ZStore) -> bool:
         """Check hash consistency of every compound node (used by the
-        microchain server to reject malformed DAGs)."""
+        microchain server to reject malformed DAGs). Entries arrive from
+        untrusted decoders, so ANY malformed shape counts as flawed
+        rather than raising out of the check."""
         from ..core.zstore import flatten_tuple11, flatten_tuple110
-        for zptr, entry in self.entries.items():
-            if entry[0] == TUPLE11:
-                digest = zstore.hash4(flatten_tuple11(entry[1], entry[2]))
-            elif entry[0] == TUPLE110:
-                digest = zstore.hash5(
-                    flatten_tuple110(entry[1], entry[2], entry[3]))
-            else:
-                continue
-            if digest != zptr.digest:
-                return True
+        try:
+            for zptr, entry in self.entries.items():
+                if not isinstance(zptr, ZPtr) or not isinstance(entry, tuple):
+                    return True
+                if entry[0] == TUPLE11:
+                    if len(entry) != 3:
+                        return True
+                    digest = zstore.hash4(flatten_tuple11(entry[1], entry[2]))
+                elif entry[0] == TUPLE110:
+                    if len(entry) != 4:
+                        return True
+                    digest = zstore.hash5(
+                        flatten_tuple110(entry[1], entry[2], entry[3]))
+                else:
+                    continue
+                if digest != zptr.digest:
+                    return True
+        except Exception:
+            return True
         return False
 
 

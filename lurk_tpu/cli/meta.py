@@ -7,7 +7,6 @@ Each command is a MetaCmd{name, summary, info, format, example, returns, run};
 from __future__ import annotations
 
 import os
-import secrets as _secrets
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Dict
@@ -112,8 +111,8 @@ def _m_assert_emitted(repl, args, path):
     result, _ = repl.reduce_aux(expr)
     if result.tag == Tag.Err:
         raise MetaError(f"Reduction error: {repl.fmt(result)}")
-    emitted = [repl.manual_egression(int(e[0]), int(e[1]))
-               for e in repl.queries.emitted]
+    emitted = repl.manual_egression_many(
+        [(int(e[0]), int(e[1])) for e in repl.queries.emitted])
     emitted_z = repl.zstore.intern_list(emitted)
     if expected != emitted_z:
         raise MetaError(
@@ -228,9 +227,8 @@ def _m_hide(repl, args, path):
 def _m_rand(repl, args, path):
     if args != repl.zstore.nil:
         raise MetaError("No arguments are accepted")
-    digest = tuple(int.from_bytes(_secrets.token_bytes(4), "little")
-                   % 2013265921 for _ in range(DIGEST_SIZE))
-    return repl.zstore.intern_big_num(digest)
+    from .data import random_field_digest
+    return repl.zstore.intern_big_num(random_field_digest())
 
 
 def _m_commit(repl, args, path):
@@ -241,6 +239,16 @@ def _m_commit(repl, args, path):
 def _fetch_comm_data(repl, digest) -> ZPtr:
     comm_data = load_data(commits_dir() / _digest_hex(digest))
     payload = comm_data.payload
+    # stricter than the reference (meta.rs:455-462 loads unchecked): the
+    # commits dir can hold files from untrusted parties, so the payload
+    # DAG must be consistent and the data must actually hash to the
+    # commitment being opened
+    if comm_data.zdag.is_flawed(repl.zstore):
+        raise MetaError("Flawed commitment data")
+    from .data import CommData
+    if tuple(CommData.hash(comm_data.secret, payload, repl.zstore)) \
+            != tuple(digest):
+        raise MetaError("Commitment data does not match the digest")
     comm_data.populate_zstore(repl.zstore)
     # make the preimage available for open/preimg
     preimg = tuple(comm_data.secret) + payload.flatten()
@@ -390,6 +398,10 @@ def _m_load_expr(repl, args, path):
     _validate_path_type(repl, path_z)
     path_str = repl.zstore.fetch_string(path_z)
     lurk_data = load_data(path_str)
+    # stricter than the reference (meta.rs:736-754 populates unchecked):
+    # a flawed/malformed DAG from disk must not enter the live zstore
+    if lurk_data.is_flawed(repl.zstore):
+        raise MetaError(f"Flawed Lurk data in `{path_str}`")
     return lurk_data.interned(repl.zstore)
 
 

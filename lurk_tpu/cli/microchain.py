@@ -14,7 +14,6 @@ for the same reason (ADVICE.md round-1 high finding).
 
 from __future__ import annotations
 
-import secrets as _secrets
 import socket
 import socketserver
 import struct
@@ -139,8 +138,8 @@ class MicrochainServer:
         state_zptr = state.into_zptr(zstore)
         if state_zptr.tag != Tag.Cons:
             return {"kind": "error", "error": "genesis state must be a pair"}
-        secret = tuple(int.from_bytes(_secrets.token_bytes(4), "little")
-                       % 2013265921 for _ in range(DIGEST_SIZE))
+        from .data import random_field_digest
+        secret = random_field_digest()
         id_digest = CommData.hash(secret, state_zptr, zstore)
         id_hex = _hex(id_digest)
         if (self._chain_dir(id_hex) / "genesis").exists():

@@ -105,6 +105,12 @@ class Repl:
     def manual_egression(self, tag: int, ptr: int) -> ZPtr:
         """Egress a VM-internal (tag, ptr) pair into a ZPtr using a scratch
         copy of the query record (reference: src/core/cli/repl.rs:432-458)."""
+        return self.manual_egression_many([(tag, ptr)])[0]
+
+    def manual_egression_many(self, pairs) -> list:
+        """Egress many (tag, ptr) pairs against ONE scratch query-record
+        copy (the deepcopy dominates; per-value copies made assert-emitted
+        O(values x record size))."""
         import copy
         queries_tmp = copy.deepcopy(self.queries)
         # a native reduction leaves columnar query maps; the python
@@ -112,14 +118,19 @@ class Repl:
         queries_tmp.func_queries = [
             m.to_index_map() if hasattr(m, "to_index_map") else m
             for m in queries_tmp.func_queries]
-        out = execute_by_name(self.toplevel, "egress", [tag, ptr], queries_tmp)
-        zptr = ZPtr(int(out[0]), tuple(int(x) for x in out[1:9]))
         hash4_idx = self.toplevel.func_index["hash4"]
         hash5_idx = self.toplevel.func_index["hash5"]
-        self.zstore.memoize_dag(zptr.tag, zptr.digest,
-                                queries_tmp.inv_func_queries[hash4_idx],
-                                queries_tmp.inv_func_queries[hash5_idx])
-        return zptr
+        out_zptrs = []
+        for tag, ptr in pairs:
+            out = execute_by_name(self.toplevel, "egress", [int(tag),
+                                                            int(ptr)],
+                                  queries_tmp)
+            zptr = ZPtr(int(out[0]), tuple(int(x) for x in out[1:9]))
+            self.zstore.memoize_dag(zptr.tag, zptr.digest,
+                                    queries_tmp.inv_func_queries[hash4_idx],
+                                    queries_tmp.inv_func_queries[hash5_idx])
+            out_zptrs.append(zptr)
+        return out_zptrs
 
     def num_iterations(self) -> int:
         return len(self.queries.func_queries[self.toplevel.func_index["eval"]])
@@ -172,14 +183,14 @@ class Repl:
     # -- input processing --------------------------------------------------
 
     def process(self, code: str, path: Path = Path(".")) -> Optional[ZPtr]:
-        syn, rest = parse(code, self.state)
-        if syn is None:
-            return None
-        result = self._process_syntax(syn, path)
-        if rest.strip():
-            self._pending = rest
-        else:
-            self._pending = ""
+        """Process every form in `code` in order; returns the last form's
+        result (trailing forms used to be silently dropped)."""
+        result = None
+        while code.strip():
+            syn, code = parse(code, self.state)
+            if syn is None:
+                break
+            result = self._process_syntax(syn, path)
         return result
 
     def intern_syntax(self, syn, path: Path) -> ZPtr:
@@ -230,11 +241,19 @@ class Repl:
         print(f"Loading {path}")
         state = self.state
         while True:
-            syn, code = parse(code, state)
+            syn, rest = parse(code, state)
             if syn is None:
                 break
             if demo:
-                print(f"> (demo)")
+                # step-through mode (reference cli/mod.rs demo): show the
+                # form about to run, wait for Enter
+                src = code[:len(code) - len(rest)].strip()
+                print(f"> {src}")
+                try:
+                    input()
+                except EOFError:
+                    pass
+            code = rest
             self._process_syntax(syn, path.parent)
 
     def run(self):
@@ -261,27 +280,39 @@ class Repl:
                     result = self._process_syntax(syn, Path("."))
                     if result is not None and not isinstance(result, ZPtr):
                         pass
-            except (ReplError, EvalBail, LoopDetected, AssertionError,
-                    ValueError, KeyError) as e:
+            except Exception as e:  # noqa: BLE001 - the REPL must survive
+                # any user-triggered error (MetaError, ParseErr, missing
+                # files, server errors, RecursionError, ...): report and
+                # return to the prompt, like the reference's rustyline loop
                 print(f"Error: {e}")
             buffer = ""
 
 
 def _balanced(code: str) -> bool:
+    """Paren/string balance for multi-line REPL continuation. Comments
+    run to end of line (the parser ignores them, so parens/quotes inside
+    must not count), and escape handling skips the escaped character so a
+    string ending in a literal backslash ("a\\\\") still closes."""
     depth = 0
     in_str = False
-    prev = ""
-    for c in code:
+    i = 0
+    n = len(code)
+    while i < n:
+        c = code[i]
         if in_str:
-            if c == '"' and prev != "\\":
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
                 in_str = False
         elif c == '"':
             in_str = True
         elif c == ";":
-            pass
+            while i < n and code[i] != "\n":
+                i += 1
         elif c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
-        prev = c
+        i += 1
     return depth <= 0 and not in_str

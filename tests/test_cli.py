@@ -138,3 +138,55 @@ def test_verify_protocol_rejects_wrong_claim(repl, tmp_path):
     pf = tmp_path / "bad.proof"
     with pytest.raises(MetaError):
         repl.process(f'!(prove-protocol eq-protocol "{pf}" 1 2)')
+
+
+def test_process_evaluates_all_forms(repl):
+    """Multiple forms in one process() call all run (trailing forms were
+    silently dropped into a dead attribute)."""
+    repl.process("!(def px 1) !(def py 2)")
+    out = repl.process("(+ px py)")
+    assert repl.fmt(out) == "3"
+
+
+def test_balanced_comments_and_escapes():
+    from lurk_tpu.cli.repl import _balanced
+    assert _balanced("(+ 1 2) ; see note (")
+    assert _balanced('"a\\\\"')          # string with a literal backslash
+    assert not _balanced('"open')
+    assert not _balanced("(+ 1")
+    assert _balanced('(list ";(((" 1)')  # parens inside a real string
+
+
+def test_long_list_dump_no_recursion(repl, tmp_path):
+    """ZDag.populate_with is iterative: a ~2000-cell string spine used to
+    blow Python's recursion limit in dump-expr/commit/prove."""
+    s = "x" * 2000
+    p = tmp_path / "long.out"
+    repl.process(f'!(dump-expr "{s}" "{p}")')
+    out = repl.process(f'!(load-expr "{p}")')
+    assert repl.fmt(out) == f'"{s}"'
+
+
+def test_open_rejects_tampered_commit_file(repl):
+    """!(open) must reject a commits-dir file that does not hash to the
+    requested digest (the dir can hold files from untrusted parties)."""
+    from lurk_tpu.cli.data import commits_dir, dump_data, load_data
+    from lurk_tpu.cli.meta import MetaError
+
+    comm = repl.process("!(commit 42)")
+    files = list(commits_dir().iterdir())
+    assert len(files) == 1
+    # swap in the commit data of a DIFFERENT payload under the same name
+    repl.process("!(commit 43)")
+    other = [f for f in commits_dir().iterdir() if f != files[0]][0]
+    files[0].write_bytes(other.read_bytes())
+    with pytest.raises(MetaError, match="does not match"):
+        repl.process(f"!(open {repl.fmt(comm)})")
+
+
+def test_rand_secret_in_field(repl):
+    from lurk_tpu.cli.data import random_field_digest
+    from lurk_tpu.field.babybear import P
+    for _ in range(4):
+        d = random_field_digest()
+        assert len(d) == 8 and all(0 <= x < P for x in d)
