@@ -54,6 +54,47 @@ def _stage_twiddles(log_n: int, inverse: bool):
     return tuple(stages)
 
 
+_PP = np.uint64(bb.P)
+
+
+def _geom_powers_np(base: int, n: int) -> np.ndarray:
+    """[base^0 .. base^(n-1)] canonical uint32, vectorized doubling."""
+    pw = np.empty(n, np.uint64)
+    pw[0] = 1
+    k = 1
+    while k < n:
+        m = min(k, n - k)
+        pw[k:k + m] = (pw[:m] * pw[k - 1] % _PP) * np.uint64(base) % _PP
+        k += k
+    return pw.astype(np.uint32)
+
+
+def _four_step_min_log() -> int:
+    """Row counts at or above 2^this use the four-step (Bailey) kernel.
+
+    The single-pass constant-geometry kernel gathers n rows per stage;
+    at large n each gathered row is a few dozen bytes — hostile to the
+    TPU's (8, 128) tiling (measured 1.5s for a 2^21x12 NTT on v5e). The
+    four-step split turns every data movement into long contiguous rows.
+    """
+    import os
+    return int(os.environ.get("LURK_TPU_NTT_4STEP_MIN_LOG", 14))
+
+
+@lru_cache(maxsize=None)
+def _four_step_twiddle_mont(log_n: int, inverse: bool) -> np.ndarray:
+    """(n1, n2) Montgomery matrix w^(k1*j2) for the four-step split."""
+    log_n1 = log_n // 2
+    n = 1 << log_n
+    w = bb.two_adic_generator_s(log_n)
+    if inverse:
+        w = bb.inv_s(w)
+    roots = _geom_powers_np(w, n)
+    k1 = np.arange(1 << log_n1, dtype=np.int64)[:, None]
+    j2 = np.arange(1 << (log_n - log_n1), dtype=np.int64)[None, :]
+    return bb.np_to_mont(roots[(k1 * j2) & (n - 1)])
+
+
 @lru_cache(maxsize=None)
 def _bitrev_perm(log_n: int):
     n = 1 << log_n
@@ -103,26 +144,62 @@ def _cg_tables(log_n: int, inverse: bool):
 
 @lru_cache(maxsize=None)
 def cg_tables_dev(log_n: int, inverse: bool):
-    """Device-resident copies of the _cg_tables arrays (uploaded once).
+    """Device-resident tables for `device_ntt` (uploaded once).
+
+    For log_n below the four-step threshold: the _cg_tables arrays.
+    At or above it: a (tables_n1, tables_n2, twiddle) pytree for the
+    four-step split (recursively, for astronomically large n).
 
     MUST be first-called outside any jit trace (jnp.asarray inside a trace
     would cache a tracer); eager entry points fetch these and pass them as
     arguments into the jitted kernels."""
     from .. import maybe_enable_xla_cache
     maybe_enable_xla_cache()
+    if log_n >= _four_step_min_log():
+        log_n1 = log_n // 2
+        return (cg_tables_dev(log_n1, inverse),
+                cg_tables_dev(log_n - log_n1, inverse),
+                jnp.asarray(_four_step_twiddle_mont(log_n, inverse)))
     init_perm, out_perm, G, W = _cg_tables(log_n, inverse)
     return (jnp.asarray(init_perm), jnp.asarray(out_perm),
             jnp.asarray(G), jnp.asarray(W))
 
 
 def device_ntt(x, log_n: int, inverse: bool, tables=None):
-    """Traceable NTT body (for use inside larger jits): fori_loop over
-    constant-shape stages. Inside a jit, `tables` must be passed in as an
-    argument pytree (fetch with cg_tables_dev before tracing)."""
+    """Traceable NTT body (for use inside larger jits). Inside a jit,
+    `tables` must be passed in as an argument pytree (fetch with
+    cg_tables_dev before tracing; its structure matches this function's
+    per-size dispatch).
+
+    Small sizes: single-pass constant-geometry kernel — a fori_loop over
+    stages with per-stage gather tables, O(1) compile cost in log_n.
+    Large sizes (>= _four_step_min_log): four-step (Bailey) split
+    n = n1*n2 — the constant-geometry kernel's per-stage gathers move n
+    rows of a few dozen bytes each, hostile to the TPU's (8, 128) tiled
+    memory (measured 100x off VPU speed-of-light at 2^21); reshaping to
+    (n1, n2*w) makes both inner NTTs gather FEW rows of LONG contiguous
+    data. Derivation (j = j1*n2 + j2, k = k1 + k2*n1):
+        X[k1 + k2*n1] = sum_j2 w^(j2*k1) w_n2^(j2*k2)
+                          [ sum_j1 A[j1, j2] w_n1^(j1*k1) ]
+    i.e. column NTTs (length n1), twiddle w^(k1*j2), row NTTs (length
+    n2), and a (k2, k1) read-out that row-major flattening provides for
+    free. Bit-exact vs the host oracle at every size (mod-p arithmetic
+    is exact; tests/test_ntt.py)."""
     if log_n == 0:
         return x
     if tables is None:
         tables = cg_tables_dev(log_n, inverse)
+    if log_n >= _four_step_min_log():
+        t1, t2, tw = tables
+        log_n1 = log_n // 2
+        log_n2 = log_n - log_n1
+        n1, n2 = 1 << log_n1, 1 << log_n2
+        w = x.shape[1]
+        a = device_ntt(x.reshape(n1, n2 * w), log_n1, inverse, t1)
+        a = bb.mont_mul(a.reshape(n1, n2, w), tw[:, :, None])
+        b = jnp.swapaxes(a, 0, 1).reshape(n2, n1 * w)
+        b = device_ntt(b, log_n2, inverse, t2)
+        return b.reshape(1 << log_n, w)
     init_perm, out_perm, G, W = tables
     half = 1 << (log_n - 1)
     x = x[init_perm]

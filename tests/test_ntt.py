@@ -67,3 +67,16 @@ def test_fold_pairing_convention():
         x = (x * g) % bb.P
     for i in range(n // 2):
         assert pts[i + n // 2] == (bb.P - pts[i]) % bb.P
+
+
+def test_four_step_bit_exact():
+    """The four-step (Bailey) device kernel used at heights >= 2^14 is
+    bit-exact vs the host single-pass oracle (forward + inverse, odd and
+    even log_n splits, multi-column)."""
+    assert N._four_step_min_log() <= 14
+    for log_n in (14, 15):
+        for inverse in (False, True):
+            x = RNG.integers(0, bb.P, size=(1 << log_n, 3), dtype=np.uint32)
+            ref = N._ntt_np(x, inverse, log_n)
+            got = np.asarray(N.device_ntt(jnp.asarray(x), log_n, inverse))
+            np.testing.assert_array_equal(ref, got)
