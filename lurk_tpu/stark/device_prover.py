@@ -200,14 +200,10 @@ def dtree_commit(mats: list, concat=None) -> DTree:
     return DTree([int(m.shape[1]) for m in mats], concat, levels, root)
 
 
-def dtree_open_many(tree: DTree, indices: List[int]):
-    """Returns (rows (nq, total_w) np, paths (nq, depth, 8) np).
-
-    Eager device gathers (XLA caches the tiny gather kernels per shape);
-    host-resident top levels index directly in numpy. All device-side
-    results ride ONE device->host transfer: the axon tunnel costs
-    ~35-45ms of fixed latency per transfer, so per-level downloads
-    dominated warm prove time (~12s of a 35s fib-2^20 prove)."""
+def _open_many_parts(tree: DTree, indices: List[int]):
+    """Device-side gathers + host path levels for one tree's openings —
+    everything EXCEPT the device->host transfer, so many trees' openings
+    can ride one transfer (dtree_open_many_batched)."""
     depth = len(tree.levels) - 1
     nq = len(indices)
     idx_np = np.asarray(indices, np.int64)
@@ -224,9 +220,11 @@ def dtree_open_many(tree: DTree, indices: List[int]):
             paths.append(None)
             dev_parts.append(level[jnp.asarray(sib)])
         idx = idx >> 1
-    joined = np.asarray(jnp.concatenate(
-        [p.astype(jnp.uint32) for p in dev_parts], axis=1)) \
-        if len(dev_parts) > 1 else np.asarray(dev_parts[0])
+    return nq, depth, dev_parts, paths, dev_slots
+
+
+def _finish_open(tree: DTree, nq, depth, joined: np.ndarray, paths,
+                 dev_slots):
     total_w = int(tree.concat.shape[1])
     rows = joined[:, :total_w]
     for k, slot in enumerate(dev_slots):
@@ -234,6 +232,35 @@ def dtree_open_many(tree: DTree, indices: List[int]):
     path_arr = np.stack(paths, axis=1) if depth else \
         np.zeros((nq, 0, 8), np.uint32)
     return rows, path_arr
+
+
+def dtree_open_many_batched(reqs: List[Tuple[DTree, List[int]]]):
+    """[(tree, indices)] -> [(rows (nq, total_w) np, paths (nq, depth, 8)
+    np)] with ALL trees' device-side results on ONE device->host transfer:
+    the axon tunnel costs ~35-45ms of fixed latency per transfer, so
+    per-tree (let alone per-level) downloads dominated warm prove time.
+    Every request must share the same query count nq."""
+    parts = [(tree,) + _open_many_parts(tree, idx) for tree, idx in reqs]
+    all_dev = [p.astype(jnp.uint32) for _, _, _, dev_parts, _, _ in parts
+               for p in dev_parts]
+    if not all_dev:
+        return []
+    joined_all = np.asarray(jnp.concatenate(all_dev, axis=1)) \
+        if len(all_dev) > 1 else np.asarray(all_dev[0])
+    out = []
+    off = 0
+    for tree, nq, depth, dev_parts, paths, dev_slots in parts:
+        w = sum(int(p.shape[1]) for p in dev_parts)
+        out.append(_finish_open(tree, nq, depth,
+                                joined_all[:, off:off + w], paths,
+                                dev_slots))
+        off += w
+    return out
+
+
+def dtree_open_many(tree: DTree, indices: List[int]):
+    """(rows (nq, total_w) np, paths (nq, depth, 8) np) for one tree."""
+    return dtree_open_many_batched([(tree, indices)])[0]
 
 
 # ---------------------------------------------------------------------------
@@ -872,12 +899,10 @@ def device_fri_prove(codewords: Dict[int, jnp.ndarray], config: FriConfig,
         per_layer_idx.append(js)
         idxs = js
         size = half
-    layer_rows = []
-    layer_paths = []
-    for tree, js in zip(layer_trees, per_layer_idx):
-        rows, paths = dtree_open_many(tree, js)
-        layer_rows.append(rows)
-        layer_paths.append(paths)
+    opened_layers = dtree_open_many_batched(
+        list(zip(layer_trees, per_layer_idx)))
+    layer_rows = [rows for rows, _ in opened_layers]
+    layer_paths = [paths for _, paths in opened_layers]
     queries = []
     for qi in range(config.num_queries):
         steps = []
@@ -918,15 +943,37 @@ def device_open_rounds(rounds: List[DRound],
     from . import merkle as host_merkle
 
     # opened values: evaluate each group's coefficient concat at the union
-    # of its matrices' points, then scatter back per matrix
-    opened = []
-    for rnd, rnd_points in zip(rounds, points):
-        rv = [[None] * len(pts) for pts in rnd_points]
-        for (log_h, idxs), gcoeffs in zip(rnd.groups, rnd.group_coeffs):
+    # of its matrices' points, then scatter back per matrix. All (group,
+    # point) evaluations are dispatched first and ride ONE device->host
+    # transfer (the challenger only consumes them afterwards, in
+    # transcript order).
+    pending = []                           # (rnd_i, group_i, z, dev (w,4))
+    for ri, (rnd, rnd_points) in enumerate(zip(rounds, points)):
+        for gi, ((log_h, idxs), gcoeffs) in enumerate(
+                zip(rnd.groups, rnd.group_coeffs)):
             h = 1 << log_h
             for z in _group_points(rnd, rnd_points, idxs):
                 zp_mont = device_ext_powers_mont(z, h)
-                ys_all = device_eval_coeffs_at(gcoeffs, zp_mont)
+                hh, ww = int(gcoeffs.shape[0]), int(gcoeffs.shape[1])
+                pending.append((ri, gi, z,
+                                _eval_coeffs_fn(hh, ww)(gcoeffs, zp_mont)))
+    if pending:
+        joined = np.asarray(jnp.concatenate([d for *_, d in pending],
+                                            axis=0))
+    evals: Dict[tuple, list] = {}
+    off = 0
+    for ri, gi, z, dev in pending:
+        w = int(dev.shape[0])
+        evals[(ri, gi, z)] = [tuple(int(x) for x in row)
+                              for row in joined[off:off + w]]
+        off += w
+
+    opened = []
+    for ri, (rnd, rnd_points) in enumerate(zip(rounds, points)):
+        rv = [[None] * len(pts) for pts in rnd_points]
+        for gi, (log_h, idxs) in enumerate(rnd.groups):
+            for z in _group_points(rnd, rnd_points, idxs):
+                ys_all = evals[(ri, gi, z)]
                 off = 0
                 for i in idxs:
                     w = rnd.widths[i]
@@ -1001,13 +1048,15 @@ def device_open_rounds(rounds: List[DRound],
 
     fri_proof, _layer_trees = device_fri_prove(ro, config, challenger)
 
-    # round-tree query openings, batched per tree
+    # round-tree query openings: every round's every tree on one transfer
     query_openings: List[list] = [[] for _ in fri_proof.query_indices]
+    reqs = [(tree, [q % (1 << log_H) for q in fri_proof.query_indices])
+            for rnd in rounds for log_H, tree in rnd.trees]
+    opened_trees = iter(dtree_open_many_batched(reqs))
     for rnd in rounds:
         per_tree = []
         for log_H, tree in rnd.trees:
-            idxs = [q % (1 << log_H) for q in fri_proof.query_indices]
-            rows, paths = dtree_open_many(tree, idxs)
+            rows, paths = next(opened_trees)
             per_tree.append((log_H, tree, rows, paths))
         for qi in range(len(fri_proof.query_indices)):
             entries = []
