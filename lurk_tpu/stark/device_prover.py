@@ -742,7 +742,7 @@ def _eval_coeffs_fn(h: int, w: int):
 def device_eval_coeffs_at(coeffs_dev, zp_mont) -> List[tuple]:
     h, w = int(coeffs_dev.shape[0]), int(coeffs_dev.shape[1])
     out = np.asarray(_eval_coeffs_fn(h, w)(coeffs_dev, zp_mont))
-    return [tuple(int(x) for x in row) for row in out]
+    return [tuple(row) for row in out.tolist()]
 
 
 _XS_CACHE: Dict[int, jnp.ndarray] = {}
@@ -855,31 +855,83 @@ def _inv_2x_dev(log_n: int, shift: int):
     return jnp.asarray(inv_2x.astype(np.uint32))
 
 
+def _fri_host_tail_log() -> int:
+    """Fold layers at or below this log-size run on the HOST: each device
+    layer costs a dispatch + a root download (~60ms of tunnel latency)
+    while the math on a few thousand rows is microseconds anywhere. The
+    switch is one batched download of the live codeword + every remaining
+    input codeword; the host fold/commit code is the tested oracle, so
+    proof bits are identical. 0 disables the tail (bit-exactness tests
+    exercise both paths)."""
+    import os
+    return int(os.environ.get("LURK_TPU_FRI_HOST_TAIL_LOG", 13))
+
+
 def device_fri_prove(codewords: Dict[int, jnp.ndarray], config: FriConfig,
-                     challenger) -> Tuple[FriProof, List[DTree]]:
-    """codewords: log_n -> (2^log_n, 4) canonical ext device arrays."""
-    from .fri import layer_shift
+                     challenger) -> Tuple[FriProof, list]:
+    """codewords: log_n -> (2^log_n, 4) canonical ext device arrays (host
+    numpy arrays are accepted and folded on the host)."""
+    from .fri import layer_shift, fold_codeword, _pair_matrix
+    from ..field import ext_np as E_np
+    from . import merkle as host_merkle
     max_log = max(codewords)
     current = codewords[max_log]
-    layer_trees: List[DTree] = []
+    layer_trees: list = []          # DTree (device) or merkle tree (host)
+    tail_log = _fri_host_tail_log()
     log_n = max_log
     layer = 0
+    on_host = isinstance(current, np.ndarray)
+
+    def to_host_u64(a):
+        return np.asarray(a, np.uint64) if isinstance(a, np.ndarray) \
+            else np.asarray(a).astype(np.uint64)
+
     while log_n > config.log_blowup:
+        if not on_host and log_n <= tail_log:
+            # one transfer: live codeword + all remaining input codewords
+            pend = [(None, current)] + \
+                [(k, v) for k, v in codewords.items()
+                 if k < log_n and not isinstance(v, np.ndarray)]
+            joined = np.asarray(jnp.concatenate([v for _, v in pend],
+                                                axis=0)).astype(np.uint64)
+            off = 0
+            for k, v in pend:
+                n_rows = int(v.shape[0])
+                block = joined[off:off + n_rows]
+                off += n_rows
+                if k is None:
+                    current = block
+                else:
+                    codewords[k] = block
+            on_host = True
         half = 1 << (log_n - 1)
-        pair = jnp.concatenate([current[:half].reshape(half, 4),
-                                current[half:].reshape(half, 4)], axis=1)
-        tree = dtree_commit([pair])
-        layer_trees.append(tree)
-        challenger.observe_many(tree.root)
-        beta = challenger.sample_ext()
-        beta_mont = bb.to_mont(ext_scalar_dev(beta))
-        current = _fold_fn(log_n)(current, beta_mont,
-                                  _inv_2x_dev(log_n, layer_shift(max_log,
-                                                                 layer)))
+        if on_host:
+            tree = host_merkle.commit([_pair_matrix(current)])
+            layer_trees.append(tree)
+            challenger.observe_many(tree.root)
+            beta = challenger.sample_ext()
+            current = fold_codeword(current, beta, log_n,
+                                    layer_shift(max_log, layer))
+        else:
+            pair = jnp.concatenate([current[:half].reshape(half, 4),
+                                    current[half:].reshape(half, 4)], axis=1)
+            tree = dtree_commit([pair])
+            layer_trees.append(tree)
+            challenger.observe_many(tree.root)
+            beta = challenger.sample_ext()
+            beta_mont = bb.to_mont(ext_scalar_dev(beta))
+            current = _fold_fn(log_n)(current, beta_mont,
+                                      _inv_2x_dev(log_n,
+                                                  layer_shift(max_log,
+                                                              layer)))
         log_n -= 1
         layer += 1
         if log_n in codewords:
-            current = bb.fadd(current, codewords[log_n])
+            add = codewords[log_n]
+            if on_host:
+                current = E_np.eadd(current, to_host_u64(add))
+            else:
+                current = bb.fadd(current, add)
     final_rows = np.asarray(current)
     final = tuple(int(x) for x in final_rows[0])
     assert all(tuple(int(x) for x in row) == final for row in final_rows), \
@@ -889,7 +941,8 @@ def device_fri_prove(codewords: Dict[int, jnp.ndarray], config: FriConfig,
 
     indices = [challenger.sample_bits(max_log)
                for _ in range(config.num_queries)]
-    # batch-gather the query openings layer by layer
+    # batch-gather the query openings layer by layer: all DEVICE layers'
+    # openings ride one transfer; host-tail layers open in numpy
     per_layer_idx: List[List[int]] = []
     idxs = list(indices)
     size = 1 << max_log
@@ -899,20 +952,31 @@ def device_fri_prove(codewords: Dict[int, jnp.ndarray], config: FriConfig,
         per_layer_idx.append(js)
         idxs = js
         size = half
-    opened_layers = dtree_open_many_batched(
-        list(zip(layer_trees, per_layer_idx)))
-    layer_rows = [rows for rows, _ in opened_layers]
-    layer_paths = [paths for _, paths in opened_layers]
+    dev_reqs = [(t, js) for t, js in zip(layer_trees, per_layer_idx)
+                if isinstance(t, DTree)]
+    dev_opened = iter(dtree_open_many_batched(dev_reqs))
+    rows_l: list = []
+    paths_l: list = []
+    for tree, js in zip(layer_trees, per_layer_idx):
+        if isinstance(tree, DTree):
+            rows, paths = next(dev_opened)
+            # ndarray.tolist() converts whole blocks at C speed;
+            # per-element int() loops here were ~0.3s of a 100-query prove
+            rows_l.append(rows.tolist())
+            paths_l.append(paths.tolist())
+        else:
+            openings = [host_merkle.open_at(tree, j) for j in js]
+            rows_l.append([o.rows[0] for o in openings])
+            paths_l.append([o.path for o in openings])
     queries = []
     for qi in range(config.num_queries):
         steps = []
         for li in range(len(layer_trees)):
-            row = [int(x) for x in layer_rows[li][qi]]
-            path = [tuple(int(x) for x in d) for d in layer_paths[li][qi]]
-            steps.append(FriQueryStep(row, path))
+            path = [tuple(d) for d in paths_l[li][qi]]
+            steps.append(FriQueryStep(rows_l[li][qi], path))
         queries.append(FriQuery(steps))
-    proof = FriProof([t.root for t in layer_trees], final, pow_witness,
-                     queries, indices)
+    proof = FriProof([t.root for t in layer_trees], final,
+                     pow_witness, queries, indices)
     return proof, layer_trees
 
 
@@ -964,8 +1028,8 @@ def device_open_rounds(rounds: List[DRound],
     off = 0
     for ri, gi, z, dev in pending:
         w = int(dev.shape[0])
-        evals[(ri, gi, z)] = [tuple(int(x) for x in row)
-                              for row in joined[off:off + w]]
+        evals[(ri, gi, z)] = [tuple(row)
+                              for row in joined[off:off + w].tolist()]
         off += w
 
     opened = []
@@ -1058,16 +1122,20 @@ def device_open_rounds(rounds: List[DRound],
         for log_H, tree in rnd.trees:
             rows, paths = next(opened_trees)
             per_tree.append((log_H, tree, rows, paths))
+        # block tolist() conversions: per-element int() loops over
+        # 100 queries x trees x widths were ~2s of host time per prove
+        per_tree_l = [(log_H, tree, rows.tolist(), paths.tolist())
+                      for log_H, tree, rows, paths in per_tree]
         for qi in range(len(fri_proof.query_indices)):
             entries = []
-            for log_H, tree, rows, paths in per_tree:
-                row = rows[qi]
+            for log_H, tree, rows_l, paths_l in per_tree_l:
+                row = rows_l[qi]
                 mats_rows = []
                 off = 0
                 for wdt in tree.widths:
-                    mats_rows.append([int(x) for x in row[off:off + wdt]])
+                    mats_rows.append(row[off:off + wdt])
                     off += wdt
-                path = [tuple(int(x) for x in d) for d in paths[qi]]
+                path = [tuple(d) for d in paths_l[qi]]
                 entries.append((log_H, host_merkle.Opening(mats_rows, path)))
             query_openings[qi].append(entries)
 
@@ -1117,9 +1185,16 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
     single_round = None
     for shard in shards:
         chips = [c for c in machine.chips if chip_included(c, shard)]
-        traces_np = [np.asarray(c.generate_trace(shard), np.uint64)
-                     for c in chips]
-        main_round = dcommit(traces_np)
+        # upload each trace as soon as it's generated (device_put is
+        # async): chip i's host->device copy overlaps chip i+1's host
+        # witness generation
+        traces_np = []
+        mats_dev = []
+        for c in chips:
+            t = np.asarray(c.generate_trace(shard), np.uint64)
+            traces_np.append(t)
+            mats_dev.append(jnp.asarray(t.astype(np.uint32)))
+        main_round = dcommit(mats_dev)
         shard_chip_lists.append((chips, traces_np))
         shard_roots.append(main_round.roots)
         for root in main_round.roots:

@@ -141,3 +141,16 @@ def test_device_proof_mixed_host_threshold(monkeypatch):
     dev = machine.prove(pk, q, Challenger(), device=True)
     _assert_proofs_equal(host, dev)
     assert machine.verify(vk, dev, Challenger())
+
+
+def test_device_fri_host_tail_thresholds(monkeypatch):
+    """The FRI host-tail switch produces identical proofs wherever it sits:
+    disabled (all layers on device) and maximal (all layers on host)."""
+    machine, q = _setup("factorial", [5], (120,))
+    pk, vk = machine.setup()
+    host = machine.prove(pk, q, Challenger(), device=False)
+    for tail in ("0", "99"):
+        monkeypatch.setenv("LURK_TPU_FRI_HOST_TAIL_LOG", tail)
+        dev = machine.prove(pk, q, Challenger(), device=True)
+        _assert_proofs_equal(host, dev)
+        assert machine.verify(vk, dev, Challenger())
