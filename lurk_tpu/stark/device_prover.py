@@ -464,6 +464,13 @@ def _trace_sels_traced(h: int):
 _PERM_FNS: Dict[tuple, object] = {}
 
 
+# rows per perm-trace block: bounds the (n_inter, rows, 4) fingerprint /
+# einv transients. The Lurk eval chip has 156 interactions; un-chunked at
+# h=2^20 the stacked fingerprints alone are ~2.6GB and the batched einv's
+# transients OOM'd a 16GB v5e (fib-100000 single-shard).
+_PERM_CHUNK = 1 << 17
+
+
 def _perm_fn(builder, h: int, has_prep: bool):
     key = (builder_fingerprint(builder), h, has_prep)
     fn = _PERM_FNS.get(key)
@@ -472,35 +479,60 @@ def _perm_fn(builder, h: int, has_prep: bool):
     from ..logup.trace import interaction_batches
     batches = interaction_batches(builder)
 
-    def raw(main, prep, pv, r_mont, gpows_mont):
-        ctx = DeviceEvalCtx(main, prep, pv, _trace_sels_traced(h))
-        # evaluate every interaction's multiplicity + fingerprint first, then
-        # invert ALL fingerprints with one batched einv: einv is by far the
-        # biggest subgraph here and inlining it per interaction made XLA
-        # compile time per chip blow up superlinearly
+    def phi_block(main_b, prep_b, pv, r_mont, gpows_mont, hb: int):
+        """(hb, 4B) batch contributions for one row block. Interactions
+        reference only LOCAL (rot=0) main/prep columns (asserted by the
+        symbolic harvest's use in logup/trace.py), so row blocks are
+        independent."""
+        ctx = DeviceEvalCtx(main_b, prep_b, pv, {})
+        # evaluate every interaction's multiplicity + fingerprint first,
+        # then invert ALL fingerprints with one batched einv: einv is by
+        # far the biggest subgraph here and inlining it per interaction
+        # made XLA compile time per chip blow up superlinearly
         ms, ds = [], []
         for batch in batches:
             for inter in batch:
-                ms.append(_d_signed_mult_mont(inter, ctx))     # (h,) mont
-                ds.append(_d_fingerprint_mont(inter, ctx, r_mont, gpows_mont))
+                ms.append(_d_signed_mult_mont(inter, ctx))     # (hb,) mont
+                ds.append(_d_fingerprint_mont(inter, ctx, r_mont,
+                                              gpows_mont))
         cols = []
-        total = jnp.zeros((h, 4), U32)
+        d_invs = ext_jnp.einv(bb.from_mont(jnp.stack(ds)))  # (n, hb, 4)
+        k = 0
+        for batch in batches:
+            phi = jnp.zeros((hb, 4), U32)
+            for _ in batch:
+                # d_inv (canonical) * m (mont) -> canonical product
+                phi = bb.fadd(phi, bb.mont_mul(d_invs[k], ms[k][:, None]))
+                k += 1
+            cols.append(phi)
+        return jnp.concatenate(cols, axis=1)
+
+    def raw(main, prep, pv, r_mont, gpows_mont):
         # an interaction-free chip still carries the (all-zero) running-sum
         # column, matching logup.trace.build_permutation_trace
-        if ds:
-            d_invs = ext_jnp.einv(bb.from_mont(jnp.stack(ds)))  # (n, h, 4)
-            k = 0
-            for batch in batches:
-                phi = jnp.zeros((h, 4), U32)
-                for _ in batch:
-                    # d_inv (canonical) * m (mont) -> canonical product
-                    phi = bb.fadd(phi, bb.mont_mul(d_invs[k], ms[k][:, None]))
-                    k += 1
-                cols.append(phi)
-                total = bb.fadd(total, phi)
+        if not batches:
+            s = jnp.zeros((h, 4), U32)
+            return s, s[-1]
+        if h <= _PERM_CHUNK:
+            phis = phi_block(main, prep, pv, r_mont, gpows_mont, h)
+        else:
+            nb = h // _PERM_CHUNK
+            main_b = main.reshape(nb, _PERM_CHUNK, main.shape[1])
+            if prep is None:
+                body = lambda mb: phi_block(mb, None, pv, r_mont,
+                                            gpows_mont, _PERM_CHUNK)
+                blocks = jax.lax.map(body, main_b)
+            else:
+                prep_b = prep.reshape(nb, _PERM_CHUNK, prep.shape[1])
+                body = lambda args: phi_block(args[0], args[1], pv, r_mont,
+                                              gpows_mont, _PERM_CHUNK)
+                blocks = jax.lax.map(body, (main_b, prep_b))
+            phis = blocks.reshape(h, blocks.shape[2])
+        total = jnp.zeros((h, 4), U32)
+        for b in range(len(batches)):
+            total = bb.fadd(total, phis[:, 4 * b:4 * b + 4])
         s = mod_cumsum(total, axis=0)
-        cols.append(s)
-        return jnp.concatenate(cols, axis=1), s[-1]
+        return jnp.concatenate([phis, s], axis=1), s[-1]
 
     fn = jax.jit(raw)
     _PERM_FNS[key] = fn
