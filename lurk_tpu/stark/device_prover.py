@@ -41,6 +41,26 @@ from . import pcs as host_pcs
 U32 = jnp.uint32
 LOG_BLOWUP = 1
 
+# LURK_TPU_PROVE_TIMING=1 prints per-phase wall times to stderr. The
+# timestamps are taken at the existing host sync points (no extra
+# blocking is inserted), so dispatch-only phases show near-zero and the
+# time surfaces at the transfer that drains them - read the output as
+# "where does the host block", which on a ~40ms-latency device tunnel is
+# the quantity that matters.
+import os as _os
+import sys as _sys
+import time as _time
+
+_TIMING = _os.environ.get("LURK_TPU_PROVE_TIMING", "0") == "1"
+
+
+def _tlog(label: str, t0: float) -> float:
+    t1 = _time.perf_counter()
+    if _TIMING:
+        print(f"[prove-timing] {label}: {t1 - t0:.3f}s",
+              file=_sys.stderr, flush=True)
+    return t1
+
 
 def _log2(n: int) -> int:
     l = int(n).bit_length() - 1
@@ -1043,6 +1063,7 @@ def device_open_rounds(rounds: List[DRound],
     # point) evaluations are dispatched first and ride ONE device->host
     # transfer (the challenger only consumes them afterwards, in
     # transcript order).
+    t0 = _time.perf_counter()
     pending = []                           # (rnd_i, group_i, z, dev (w,4))
     for ri, (rnd, rnd_points) in enumerate(zip(rounds, points)):
         for gi, ((log_h, idxs), gcoeffs) in enumerate(
@@ -1056,6 +1077,7 @@ def device_open_rounds(rounds: List[DRound],
     if pending:
         joined = np.asarray(jnp.concatenate([d for *_, d in pending],
                                             axis=0))
+    t0 = _tlog("    opened-values eval+transfer", t0)
     evals: Dict[tuple, list] = {}
     off = 0
     for ri, gi, z, dev in pending:
@@ -1142,7 +1164,9 @@ def device_open_rounds(rounds: List[DRound],
                 else:
                     ro[log_H] = contrib
 
+    t0 = _tlog("    reduced codewords (dispatch)", t0)
     fri_proof, _layer_trees = device_fri_prove(ro, config, challenger)
+    t0 = _tlog("    fri prove", t0)
 
     # round-tree query openings: every round's every tree on one transfer
     query_openings: List[list] = [[] for _ in fri_proof.query_indices]
@@ -1171,6 +1195,7 @@ def device_open_rounds(rounds: List[DRound],
                 entries.append((log_H, host_merkle.Opening(mats_rows, path)))
             query_openings[qi].append(entries)
 
+    _tlog("    query openings", t0)
     return host_pcs.PcsProof(opened, fri_proof, query_openings)
 
 
@@ -1216,6 +1241,7 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
     shard_roots = []
     single_round = None
     for shard in shards:
+        t0 = _time.perf_counter()
         chips = [c for c in machine.chips if chip_included(c, shard)]
         # upload each trace as soon as it's generated (device_put is
         # async): chip i's host->device copy overlaps chip i+1's host
@@ -1226,7 +1252,9 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
             t = np.asarray(c.generate_trace(shard), np.uint64)
             traces_np.append(t)
             mats_dev.append(jnp.asarray(t.astype(np.uint32)))
+        t0 = _tlog(f"shard{shard.index} witness+upload", t0)
         main_round = dcommit(mats_dev)
+        t0 = _tlog(f"shard{shard.index} main dcommit", t0)
         shard_chip_lists.append((chips, traces_np))
         shard_roots.append(main_round.roots)
         for root in main_round.roots:
@@ -1238,6 +1266,7 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
     shard_proofs = []
     for shard, (chips, traces_np), roots in zip(
             shards, shard_chip_lists, shard_roots):
+        t0 = _time.perf_counter()
         if single_round is not None:
             main_round = single_round
         else:
@@ -1246,10 +1275,12 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
             main_round = dcommit(traces_np)
             assert main_round.roots == roots, \
                 "device main commitment is not deterministic"
+            t0 = _tlog(f"shard{shard.index} recommit", t0)
         ch = challenger.copy()
         shard_proofs.append(_device_prove_shard(
             machine, pk, prep_round, prep_names, shard, chips, traces_np,
             main_round, pv, pv_dev, ch))
+        _tlog(f"shard{shard.index} prove_shard total", t0)
         del main_round
     return MachineProof(shard_proofs, list(pv))
 
@@ -1281,6 +1312,7 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
     has_preps = [chip_preprocessed(c) is not None for c in chips]
     min_rows = _host_chip_min_rows()
     on_host = [int(t.shape[0]) < min_rows for t in traces_np]
+    t0 = _time.perf_counter()
 
     r = ch.sample_ext()
     gamma = ch.sample_ext()
@@ -1312,12 +1344,15 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
     # one device->host transfer for all device cumulative sums (the
     # transcript consumes them only after the whole chip loop; per-chip
     # np.asarray would pay the ~40ms tunnel round-trip once per chip)
+    t0 = _tlog("  perm traces (dispatch+host)", t0)
     dev_cums = np.asarray(jnp.stack(cum_devs)) if cum_devs else None
     cums = [cum_slots[i] if on_host[i]
             else tuple(int(x) for x in dev_cums[cum_slots[i]])
             for i in range(len(chips))]
     del cum_devs, cum_slots
+    t0 = _tlog("  cums transfer (drains perm)", t0)
     perm_round = dcommit(perm_mats)
+    t0 = _tlog("  perm dcommit", t0)
     for root in perm_round.roots:
         ch.observe_many(root)
     for cum in cums:
@@ -1354,7 +1389,9 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
             builder, main_round.ldes[i], prep_lde, perm_round.ldes[i],
             pv_dev, r, gamma, alpha, cums[i], log_h)
         quotient_mats.append(chunk)
+    t0 = _tlog("  quotient chunks (dispatch+host)", t0)
     quotient_round = dcommit(quotient_mats)
+    t0 = _tlog("  quotient dcommit", t0)
     del quotient_mats
     for root in quotient_round.roots:
         ch.observe_many(root)
@@ -1399,7 +1436,9 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
     rounds.append(quotient_round)
     points.append([[zeta2] for _ in quotient_round.widths])
 
+    t0 = _tlog("  pre-open (points setup)", t0)
     pcs_proof = device_open_rounds(rounds, points, machine.config, ch)
+    _tlog("  open+fri", t0)
 
     chip_proofs = [
         ChipProof(c.name, main_round.log_heights[i], cums[i])
