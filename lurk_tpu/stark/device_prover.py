@@ -176,7 +176,13 @@ class DTree:
     widths: List[int]                # per-matrix widths (original order)
     concat: object                   # device (h, total_w) leaf matrix
     levels: list                     # (h >> k, 8) digests; small tops are np
-    root: tuple                      # host tuple of 8 ints
+    root: tuple                      # host tuple of 8 ints (None: deferred)
+    # deferred-finalization state: ("rows", device leaf concat) when the
+    # whole tree fits under _HOST_TOP, else ("digests", device digest
+    # level at the host crossover). finalize_dtrees drains many trees'
+    # pending buffers on ONE device->host transfer - the per-tree root
+    # download used to cost a full tunnel round-trip (~40-75ms) per tree.
+    pending: tuple = None
 
 
 # tree levels at or below this height are compressed on the host (the native
@@ -185,7 +191,7 @@ class DTree:
 _HOST_TOP = 256
 
 
-def dtree_commit(mats: list, concat=None) -> DTree:
+def dtree_commit(mats: list, concat=None, defer: bool = False) -> DTree:
     """All matrices must share one power-of-two height (pcs groups them).
 
     Pass `concat` when the caller already holds the column-concatenation
@@ -195,29 +201,89 @@ def dtree_commit(mats: list, concat=None) -> DTree:
     Orchestrates eagerly over the hasher's per-shape jits (one Poseidon2
     permutation per compiled unit, shapes shared across trees/levels) -
     a single monolithic tree jit would re-compile the permutation log(h)
-    times per distinct (h, w) and dominate wall time off-cache."""
+    times per distinct (h, w) and dominate wall time off-cache.
+
+    With defer=True the host-side top levels and root are NOT computed;
+    the returned tree carries `pending` and must go through
+    finalize_dtrees (which batches many trees' downloads on one
+    transfer) before .root/.levels are complete."""
     from . import hasher
     h = int(mats[0].shape[0])
     for m in mats:
         assert int(m.shape[0]) == h
     if concat is None:
         concat = jnp.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
+    widths = [int(m.shape[1]) for m in mats]
     if h <= _HOST_TOP:
-        level = hasher._hash_rows_np(np.asarray(concat, np.uint64))
+        tree = DTree(widths, concat, [], None, pending=("rows", concat))
     else:
         level = hasher.hash_rows(concat)
-    levels = [level]
-    while int(level.shape[0]) > 1:
-        if int(level.shape[0]) <= _HOST_TOP:
-            if not isinstance(level, np.ndarray):
-                level = np.asarray(level)
-            level = hasher._compress_pairs_np(
-                level[0::2].astype(np.uint64), level[1::2].astype(np.uint64))
-        else:
+        levels = [level]
+        while int(level.shape[0]) > _HOST_TOP:
             level = hasher.compress_pairs(level[0::2], level[1::2])
+            levels.append(level)
+        tree = DTree(widths, concat, levels, None,
+                     pending=("digests", level))
+    if not defer:
+        finalize_dtrees([tree])
+    return tree
+
+
+def _host_top_levels(kind: str, block: np.ndarray) -> list:
+    """Host levels (crossover//2 .. root) from a downloaded pending
+    buffer. For "rows" the block is the whole leaf concat (tree height
+    <= _HOST_TOP) and the leaf-hash level is included."""
+    from . import hasher
+    levels = []
+    if kind == "rows":
+        level = hasher._hash_rows_np(block.astype(np.uint64))
         levels.append(level)
-    root = tuple(int(x) for x in np.asarray(levels[-1][0]))
-    return DTree([int(m.shape[1]) for m in mats], concat, levels, root)
+    else:
+        level = block
+    while level.shape[0] > 1:
+        level = hasher._compress_pairs_np(
+            level[0::2].astype(np.uint64), level[1::2].astype(np.uint64))
+        levels.append(level)
+    return levels
+
+
+def _roots_from_pendings(pendings: List[tuple]) -> List[tuple]:
+    """Roots only, from deferred pending buffers, one transfer for all -
+    used by the multi-shard pass-1 commit where the trees themselves are
+    already freed (pass 2 recommits them)."""
+    flats = [p[1].reshape(-1) for p in pendings]
+    joined = np.asarray(jnp.concatenate(flats)
+                        if len(flats) > 1 else flats[0])
+    roots = []
+    off = 0
+    for kind, buf in pendings:
+        n = int(np.prod(buf.shape))
+        block = joined[off:off + n].reshape(buf.shape)
+        off += n
+        levels = _host_top_levels(kind, block)
+        roots.append(tuple(int(x) for x in levels[-1][0]))
+    return roots
+
+
+def finalize_dtrees(trees: List[DTree]) -> None:
+    """Complete deferred trees: ONE device->host transfer for every
+    pending top-level buffer, then host hashing (native, bit-exact) down
+    to each root. No-op for already-final trees."""
+    pend = [t for t in trees if t.root is None]
+    if not pend:
+        return
+    flats = [t.pending[1].reshape(-1) for t in pend]
+    joined = np.asarray(jnp.concatenate(flats)
+                        if len(flats) > 1 else flats[0])
+    off = 0
+    for t in pend:
+        kind, buf = t.pending
+        n = int(np.prod(buf.shape))
+        block = joined[off:off + n].reshape(buf.shape)
+        off += n
+        t.levels = t.levels + _host_top_levels(kind, block)
+        t.root = tuple(int(x) for x in t.levels[-1][0])
+        t.pending = None
 
 
 def _open_many_parts(tree: DTree, indices: List[int]):
@@ -335,8 +401,14 @@ def _lde_kernel(group, intt_tables, ntt_tables, sp, log_h: int):
     return coeffs, lde
 
 
-def dcommit(matrices: list) -> DRound:
-    """matrices: device or host (h, w) canonical uint32/uint64 arrays."""
+def dcommit(matrices: list, finalize: bool = True) -> DRound:
+    """matrices: device or host (h, w) canonical uint32/uint64 arrays.
+
+    All of the round's Merkle trees are committed with deferred roots and
+    finalized together: one device->host transfer per ROUND instead of
+    one per tree. Pass finalize=False to defer further (the multi-shard
+    pass-1 commit loop batches every shard's roots on a single transfer);
+    the caller must then run finalize_dtrees over the trees itself."""
     mats = [jnp.asarray(np.asarray(m, np.uint32)) if isinstance(m, np.ndarray)
             else jnp.asarray(m, U32) for m in matrices]
     trace_lhs = [_log2(int(m.shape[0])) for m in mats]
@@ -362,8 +434,11 @@ def dcommit(matrices: list) -> DRound:
             off += w
         # group_lde IS the column concat of group_ldes: committing it
         # directly avoids duplicating the whole LDE on device
-        trees.append((big_log, dtree_commit(group_ldes, concat=group_lde)))
+        trees.append((big_log, dtree_commit(group_ldes, concat=group_lde,
+                                            defer=True)))
         group_coeffs.append(cfs)
+    if finalize:
+        finalize_dtrees([t for _, t in trees])
     return DRound(mats, ldes, coeffs, trees, groups, group_coeffs)
 
 
@@ -914,9 +989,15 @@ def _fri_host_tail_log() -> int:
     switch is one batched download of the live codeword + every remaining
     input codeword; the host fold/commit code is the tested oracle, so
     proof bits are identical. 0 disables the tail (bit-exactness tests
-    exercise both paths)."""
+    exercise both paths).
+
+    Default 16: each device layer is an unavoidable serial round-trip
+    (the fold challenge is sampled from the layer root), ~150ms over the
+    tunnel, while the 2^16-point switch download is ~1.5MB (~40ms) and
+    the native host fold/commit of the remaining layers runs in tens of
+    milliseconds."""
     import os
-    return int(os.environ.get("LURK_TPU_FRI_HOST_TAIL_LOG", 13))
+    return int(os.environ.get("LURK_TPU_FRI_HOST_TAIL_LOG", 16))
 
 
 def device_fri_prove(codewords: Dict[int, jnp.ndarray], config: FriConfig,
@@ -1240,6 +1321,7 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
     shard_chip_lists = []
     shard_roots = []
     single_round = None
+    shard_pendings = []   # multi-shard: per-shard deferred root buffers
     for shard in shards:
         t0 = _time.perf_counter()
         chips = [c for c in machine.chips if chip_included(c, shard)]
@@ -1253,15 +1335,35 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
             traces_np.append(t)
             mats_dev.append(jnp.asarray(t.astype(np.uint32)))
         t0 = _tlog(f"shard{shard.index} witness+upload", t0)
-        main_round = dcommit(mats_dev)
-        t0 = _tlog(f"shard{shard.index} main dcommit", t0)
         shard_chip_lists.append((chips, traces_np))
-        shard_roots.append(main_round.roots)
-        for root in main_round.roots:
-            challenger.observe_many(root)
         if len(shards) == 1:
+            main_round = dcommit(mats_dev)
+            t0 = _tlog(f"shard{shard.index} main dcommit", t0)
+            shard_roots.append(main_round.roots)
+            for root in main_round.roots:
+                challenger.observe_many(root)
             single_round = main_round
-        del main_round
+            del main_round
+        else:
+            # defer every root download: the round's big device buffers
+            # are dropped right away (memory stays bounded by one shard);
+            # only the tiny pending top-level buffers survive the loop,
+            # and ALL shards' roots ride one transfer below
+            rnd = dcommit(mats_dev, finalize=False)
+            shard_pendings.append([t.pending for _, t in rnd.trees])
+            t0 = _tlog(f"shard{shard.index} main dcommit (deferred)", t0)
+            del rnd
+    if len(shards) > 1:
+        t0 = _time.perf_counter()
+        flat = [p for sp in shard_pendings for p in sp]
+        roots_iter = iter(_roots_from_pendings(flat))
+        for sp in shard_pendings:
+            roots = [next(roots_iter) for _ in sp]
+            shard_roots.append(roots)
+            for root in roots:
+                challenger.observe_many(root)
+        del shard_pendings
+        _tlog("all-shard root transfer", t0)
 
     shard_proofs = []
     for shard, (chips, traces_np), roots in zip(
