@@ -96,24 +96,60 @@ def bench_prove():
     return dt, cells, cells / dt, bool(verified)
 
 
-def _device_backend_alive(timeout_s: int = 90) -> bool:
+def _device_backend_alive(probe_timeouts=(90, 150, 180)) -> bool:
     """Probe the device backend in a SUBPROCESS: a wedged device tunnel
     hangs jax inside C (uninterruptible in-process), which would hang the
     whole benchmark. On failure the bench falls back to CPU rather than
-    producing nothing."""
+    producing nothing.
+
+    Round-2 postmortem (VERDICT.md "weak #1"): the tunnel's COLD start was
+    measured at 48s and 164s on consecutive probes, so a single 90s probe
+    fails stochastically and silently discarded the round's device story.
+    Now: up to three probes over a ~7-minute budget; any success wins.
+    """
     import subprocess
     import sys
     if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
         return True
+    for i, timeout_s in enumerate(probe_timeouts):
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); "
+                 "import jax.numpy as jnp; jnp.arange(4).sum().item()"],
+                timeout=timeout_s, capture_output=True)
+            if res.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(json.dumps({"warning": f"device probe {i + 1}/"
+                          f"{len(probe_timeouts)} failed ({timeout_s}s)"}),
+              flush=True)
+    return False
+
+
+_LASTGOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_LASTGOOD.json")
+
+
+def _save_lastgood(line: dict) -> None:
+    """Persist the device-backed metrics so a later fallback run can still
+    surface the last real TPU numbers (timestamped, clearly tagged)."""
     try:
-        res = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); "
-             "import jax.numpy as jnp; jnp.arange(4).sum().item()"],
-            timeout=timeout_s, capture_output=True)
-        return res.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+        rec = dict(line)
+        rec["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        with open(_LASTGOOD_PATH, "w") as f:
+            json.dump(rec, f, indent=1)
+    except OSError:
+        pass
+
+
+def _load_lastgood() -> dict | None:
+    try:
+        with open(_LASTGOOD_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def main():
@@ -143,10 +179,17 @@ def main():
         "unit": "hashes/s",
         "vs_baseline": round(hashes_per_s / baseline, 3),
     }
-    if os.environ.get("LURK_TPU_BENCH_REEXEC") == "1":
+    on_fallback = os.environ.get("LURK_TPU_BENCH_REEXEC") == "1"
+    if on_fallback:
         # make the record honest: this number is the CPU fallback, not
         # the TPU (see BENCHMARKS.md for the last measured TPU figures)
         line["backend"] = "cpu-fallback(dead device tunnel)"
+        lastgood = _load_lastgood()
+        if lastgood is not None:
+            # surface the last REAL device measurement alongside the
+            # honest fallback tag so one bad probe window can't erase
+            # the round's device story (VERDICT round 2, weak #1)
+            line["last_good_device"] = lastgood
     if os.environ.get("LURK_TPU_BENCH_PROVE", "1") != "0":
         try:
             secs, cells, cps, ok = bench_prove()
@@ -157,6 +200,8 @@ def main():
             line["fib_2e20_config"] = "production(q=100,pow=16)"
         except Exception as e:  # never lose the headline line
             line["fib_2e20_prove_error"] = f"{type(e).__name__}: {e}"[:200]
+    if not on_fallback:
+        _save_lastgood(line)
     print(json.dumps(line))
 
 

@@ -1,5 +1,10 @@
 """Randomized property tests (the reference uses proptest for the same
-surfaces: parser/zstore roundtrips, gadget arithmetic vs native ints)."""
+surfaces: parser/zstore roundtrips, gadget arithmetic vs native ints).
+
+Counterexamples are pinned: each property replays tests/regressions/
+<name>.json first and appends any fresh failure there (prop_utils.py —
+the reference's proptest-regressions/ analog). Exploration uses a fresh
+seed per run, reproducible via LURK_TPU_PROP_SEED."""
 
 import copy
 
@@ -9,14 +14,14 @@ import pytest
 from lurk_tpu.field import babybear as bb
 from lurk_tpu.field import ext as ext_s
 
-RNG = np.random.default_rng(20260816)
+from prop_utils import check_cases, fresh_rng
 
 
 def test_ext_field_axioms():
-    for _ in range(50):
-        a = tuple(int(x) for x in RNG.integers(0, bb.P, 4))
-        b = tuple(int(x) for x in RNG.integers(0, bb.P, 4))
-        c = tuple(int(x) for x in RNG.integers(0, bb.P, 4))
+    rng, seed = fresh_rng("ext_field_axioms")
+
+    def check(a, b, c):
+        a, b, c = tuple(a), tuple(b), tuple(c)
         # commutativity + associativity
         assert ext_s.emul_s(a, b) == ext_s.emul_s(b, a)
         assert ext_s.emul_s(a, ext_s.emul_s(b, c)) == \
@@ -29,6 +34,10 @@ def test_ext_field_axioms():
         if any(a):
             assert ext_s.emul_s(a, ext_s.einv_s(a)) == (1, 0, 0, 0)
 
+    cases = [tuple(tuple(int(x) for x in rng.integers(0, bb.P, 4))
+                   for _ in range(3)) for _ in range(50)]
+    check_cases("ext_field_axioms", cases, check, seed=seed)
+
 
 @pytest.fixture(scope="module")
 def lurk():
@@ -36,16 +45,13 @@ def lurk():
     return build_lurk_toplevel()
 
 
-def _rand_u64():
-    return int(RNG.integers(0, 1 << 64, dtype=np.uint64))
-
-
 def test_u64_arith_matches_python(lurk):
     from lurk_tpu.core.eval_api import evaluate
     tl, zstore, _ = lurk
     zs = copy.deepcopy(zstore)
-    for _ in range(12):
-        a, b = _rand_u64(), _rand_u64()
+    rng, seed = fresh_rng("u64_arith")
+
+    def check(a, b):
         cases = {
             f"(+ {a} {b})": (a + b) % (1 << 64),
             f"(- {a} {b})": (a - b) % (1 << 64),
@@ -65,16 +71,27 @@ def test_u64_arith_matches_python(lurk):
             else:
                 assert got == str(want), src
 
+    cases = [(int(rng.integers(0, 1 << 64, dtype=np.uint64)),
+              int(rng.integers(0, 1 << 64, dtype=np.uint64)))
+             for _ in range(12)]
+    check_cases("u64_arith", cases, check, seed=seed)
+
 
 def test_string_roundtrip(lurk):
     tl, zstore, _ = lurk
     zs = copy.deepcopy(zstore)
-    for _ in range(20):
-        n = int(RNG.integers(0, 40))
-        chars = [chr(int(RNG.integers(32, 127))) for _ in range(n)]
-        s = "".join(c for c in chars if c not in '"\\')
+    rng, seed = fresh_rng("string_roundtrip")
+
+    def check(s):
         z = zs.intern_string(s)
         assert zs.fetch_string(z) == s
+
+    cases = []
+    for _ in range(20):
+        n = int(rng.integers(0, 40))
+        chars = [chr(int(rng.integers(32, 127))) for _ in range(n)]
+        cases.append(("".join(c for c in chars if c not in '"\\'),))
+    check_cases("string_roundtrip", cases, check, seed=seed)
 
 
 def test_read_fmt_fixpoint(lurk):
@@ -99,13 +116,18 @@ def test_native_python_record_fuzz(lurk):
     if not native_enabled():
         pytest.skip("native library not built")
     tl, zstore, _ = lurk
+    rng, seed = fresh_rng("native_python_record")
     ops = ["+", "-", "*"]
-    for _ in range(10):
-        a, b, c = (int(RNG.integers(0, 1000)) for _ in range(3))
-        o1, o2 = RNG.choice(ops), RNG.choice(ops)
+
+    def check(a, b, c, o1, o2):
         src = f"(let ((f (lambda (x) ({o1} x {a})))) ({o2} (f {b}) (f {c})))"
         zs_n, zs_p = copy.deepcopy(zstore), copy.deepcopy(zstore)
         rn, qn = evaluate(tl, zs_n, src, use_native=True)
         rp, qp = evaluate(tl, zs_p, src, use_native=False)
         assert (rn.tag, rn.digest) == (rp.tag, rp.digest), src
         assert qn.expect_public_values() == qp.expect_public_values(), src
+
+    cases = [(int(rng.integers(0, 1000)), int(rng.integers(0, 1000)),
+              int(rng.integers(0, 1000)), str(rng.choice(ops)),
+              str(rng.choice(ops))) for _ in range(10)]
+    check_cases("native_python_record", cases, check, seed=seed)

@@ -193,3 +193,19 @@ def test_codec_malformed_input_is_codec_error():
     for payload in cases:
         with pytest.raises(codec.CodecError):
             codec.decode(payload)
+
+
+def test_verifier_bug_propagates_not_false(proven):
+    """machine.verify narrows its exception handling to the hostile-proof
+    family (VERDICT round-2 weak #6): an injected verifier BUG (here an
+    AttributeError from a broken internal) must surface as an error, not
+    be silently converted into an "invalid proof" verdict."""
+    machine, vk, proof = proven
+    orig = machine._verify_shard
+    machine._verify_shard = lambda *a, **k: (None).no_such_attribute
+    try:
+        with pytest.raises(AttributeError):
+            machine.verify(vk, proof, Challenger())
+    finally:
+        machine._verify_shard = orig
+    assert machine.verify(vk, proof, Challenger())
