@@ -56,7 +56,12 @@ class Repl:
 
     def machine_keys(self):
         if self._machine_keys is None:
-            self._machine_keys = self.machine().setup()
+            # disk-cached setup: a fresh process's first !(prove) skips the
+            # 20-50s pcs.commit of the preprocessed round (the reference
+            # re-runs setup per process - repl.rs:164-207 - so this beats
+            # it rather than matching it)
+            from ..stark.key_cache import setup_cached
+            self._machine_keys = setup_cached(self.machine())
         return self._machine_keys
 
     def bind(self, sym: ZPtr, val: ZPtr):
