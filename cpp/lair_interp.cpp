@@ -1161,4 +1161,40 @@ void lair_poseidon_batch(const u32* consts, u64 consts_len, const u32* input,
   for (auto& th : pool) th.join();
 }
 
+// Duplex-sponge challenger absorb (width 16, rate 8), the Fiat-Shamir
+// hot loop (stark/challenger.py): writes `n` canonical values into the
+// sponge, permuting on each full rate block. state: u32[16] in/out;
+// inbuf: u32[8] partial-block buffer in/out; *inbuf_len in/out.
+// Returns 1 if the LAST value absorbed completed a rate block (the
+// python wrapper then exposes state[:8] as the output buffer), else 0.
+u32 lair_challenger_observe(const u32* consts, u64 consts_len, u32* state,
+                            u32* inbuf, u64* inbuf_len, const u32* values,
+                            u64 n) {
+  PoseidonCfg cfg;
+  Reader pr{consts, consts + consts_len};
+  cfg.width = pr.next();
+  cfg.r_f = pr.next();
+  cfg.r_p = pr.next();
+  cfg.full_rc.resize((size_t)cfg.r_f * cfg.width);
+  for (auto& x : cfg.full_rc) x = pr.next();
+  cfg.part_rc.resize(cfg.r_p);
+  for (auto& x : cfg.part_rc) x = pr.next();
+  cfg.diag.resize(cfg.width);
+  for (auto& x : cfg.diag) x = pr.next();
+  const u64 RATE = 8;
+  u64 k = *inbuf_len;
+  u32 duplexed_last = 0;
+  for (u64 i = 0; i < n; i++) {
+    inbuf[k++] = values[i] % P;
+    if (k == RATE) {
+      for (u64 j = 0; j < RATE; j++) state[j] = inbuf[j];
+      poseidon2(cfg, state);
+      k = 0;
+      duplexed_last = (i == n - 1);
+    }
+  }
+  *inbuf_len = k;
+  return duplexed_last;
+}
+
 }  // extern "C"

@@ -410,6 +410,34 @@ def poseidon_batch(width: int, states: np.ndarray) -> np.ndarray:
     return out
 
 
+@lru_cache(maxsize=1)
+def _challenger_fn():
+    lib = _lib()
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.lair_challenger_observe.restype = ctypes.c_uint32
+    lib.lair_challenger_observe.argtypes = [u32p, ctypes.c_uint64, u32p,
+                                            u32p, u64p, u32p,
+                                            ctypes.c_uint64]
+    return lib.lair_challenger_observe
+
+
+def challenger_observe(state: np.ndarray, inbuf: np.ndarray,
+                       inbuf_len: int, values: np.ndarray):
+    """Absorb `values` into a width-16/rate-8 duplex sponge in one C call.
+    state (16,) u32 and inbuf (8,) u32 are updated IN PLACE; returns
+    (new_inbuf_len, last_value_duplexed)."""
+    consts = _poseidon_consts_blob(16)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    n = ctypes.c_uint64(len(values))
+    klen = ctypes.c_uint64(inbuf_len)
+    duplexed = _challenger_fn()(
+        consts.ctypes.data_as(u32p), len(consts),
+        state.ctypes.data_as(u32p), inbuf.ctypes.data_as(u32p),
+        ctypes.byref(klen), values.ctypes.data_as(u32p), n)
+    return int(klen.value), bool(duplexed)
+
+
 def build_native():
     import subprocess
     subprocess.run([str(_LIB_PATH.parent / "build.sh")], check=True)

@@ -156,3 +156,87 @@ def eval_perm_at_point(builder: SymbolicBuilder, pctx: PointEvalCtx,
         trans, ext_s.esub_s(ext_s.esub_s(s_next, s_val), total_phi_next)))
     out.append(ext_s.emul_s(last, ext_s.esub_s(s_val, cum)))
     return out
+
+
+def eval_perm_at_point_batch(builder: SymbolicBuilder, bctx,
+                             perm_local: np.ndarray, perm_next: np.ndarray,
+                             r, gamma, cums: np.ndarray) -> List[np.ndarray]:
+    """Vectorized eval_perm_at_point over k shard instances of one chip.
+
+    bctx: stark.eval.BatchPointEvalCtx; perm_local/perm_next: (k, Wp, 4)
+    uint64 opened permutation columns; cums: (k, 4). r/gamma are the
+    shared challenges (sampled before any shard-specific absorption, so
+    identical across shards). Returns constraint values as (k, 4) arrays
+    in the same order as the scalar eval_perm_at_point."""
+    k = int(perm_local.shape[0])
+    batches = interaction_batches(builder)
+    nb = len(batches)
+    max_vals = max((len(i.values) for i in builder.interactions), default=0)
+    gpows = gamma_powers(gamma, max_vals)
+
+    # X^l basis columns for recombining an ext column's 4 base openings
+    gen = (0, 1, 0, 0)
+    xpows = [(1, 0, 0, 0)]
+    for _ in range(3):
+        xpows.append(ext_s.emul_s(xpows[-1], gen))
+    xp_arr = [np.broadcast_to(np.asarray(x, U), (k, 4)) for x in xpows]
+
+    def recombine(cols):           # (k, 4, 4) -> (k, 4)
+        acc = E.zero((k,))
+        for l in range(4):
+            acc = E.eadd(acc, E.emul(cols[:, l], xp_arr[l]))
+        return acc
+
+    def phi(b, rot=0):
+        cols = perm_local if rot == 0 else perm_next
+        return recombine(cols[:, 4 * b:4 * b + 4])
+
+    s_val = recombine(perm_local[:, 4 * nb:4 * nb + 4])
+    s_next = recombine(perm_next[:, 4 * nb:4 * nb + 4])
+
+    r_arr = np.broadcast_to(np.asarray(r, U), (k, 4))
+
+    def fingerprint(inter):
+        d = r_arr
+        for j, v in enumerate(inter.values):
+            gp = np.broadcast_to(np.asarray(gpows[j + 1], U), (k, 4))
+            d = E.eadd(d, E.emul(gp, bctx.eval(v)))
+        return d
+
+    def signed_mult(inter):
+        m = bctx.eval(inter.mult)
+        if inter.kind == "receive":
+            m = E.esub(E.zero((k,)), m)
+        return m
+
+    out: List[np.ndarray] = []
+    for b, batch in enumerate(batches):
+        ms = [signed_mult(i) for i in batch]
+        ds = [fingerprint(i) for i in batch]
+        lhs = phi(b)
+        for d in ds:
+            lhs = E.emul(lhs, d)
+        rhs = E.zero((k,))
+        for i, m in enumerate(ms):
+            term = m
+            for j, d in enumerate(ds):
+                if j != i:
+                    term = E.emul(term, d)
+            rhs = E.eadd(rhs, term)
+        out.append(E.esub(lhs, rhs))
+
+    total_phi = E.zero((k,))
+    total_phi_next = E.zero((k,))
+    for b in range(nb):
+        total_phi = E.eadd(total_phi, phi(b))
+        total_phi_next = E.eadd(total_phi_next, phi(b, rot=1))
+
+    first = bctx.sels["first"]
+    last = bctx.sels["last"]
+    trans = bctx.sels["transition"]
+
+    out.append(E.emul(first, E.esub(s_val, total_phi)))
+    out.append(E.emul(trans, E.esub(E.esub(s_next, s_val),
+                                    total_phi_next)))
+    out.append(E.emul(last, E.esub(s_val, cums)))
+    return out

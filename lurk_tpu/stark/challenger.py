@@ -1,13 +1,21 @@
 """Duplex-sponge Fiat-Shamir challenger (Poseidon2 width 16, rate 8).
 
-Same role as sphinx's DuplexChallenger (SURVEY.md section 2.10). Host-side
-scalar code: transcript work is tiny. Determinism across hosts is the only
-requirement (SURVEY.md section 5.8) - all observed values are canonical ints.
+Same role as sphinx's DuplexChallenger (SURVEY.md section 2.10).
+Determinism across hosts is the only protocol requirement (SURVEY.md
+section 5.8) - all observed values are canonical ints.
+
+The absorb loop is the verifier's hottest host path (a 100-query
+multi-shard verify performs ~10^4 duplexes); it runs in one C call per
+observe_many via the native library (lair_challenger_observe), with the
+original pure-python path kept as the fallback/oracle (bit-equality
+covered by tests/test_poseidon.py + every proof round-trip test).
 """
 
 from __future__ import annotations
 
 from typing import List, Sequence
+
+import numpy as np
 
 from ..field import babybear as bb
 from ..poseidon import ref as pref
@@ -16,11 +24,23 @@ WIDTH = 16
 RATE = 8
 
 
+def _native_observe():
+    from ..lair import native
+    if not native.native_available():
+        return None
+    try:
+        native._challenger_fn()
+        return native.challenger_observe
+    except (OSError, AttributeError):
+        return None   # stale library without the challenger entry point
+
+
 class Challenger:
     def __init__(self):
         self.state = [0] * WIDTH
         self.input_buffer: List[int] = []
         self.output_buffer: List[int] = []
+        self._observe_native = _native_observe()
 
     def _duplex(self):
         for i, v in enumerate(self.input_buffer):
@@ -30,7 +50,6 @@ class Challenger:
         # absorbs thousands of opened values, and the pure-python oracle
         # costs ~1ms per duplex (bit-exact equality with pref.permute_s is
         # covered by tests/test_poseidon.py)
-        import numpy as np
         from ..poseidon.witness import permute_batch_host
         out = permute_batch_host(WIDTH, np.asarray([self.state], np.uint64))
         self.state = [int(x) for x in out[0]]
@@ -43,8 +62,25 @@ class Challenger:
             self._duplex()
 
     def observe_many(self, values: Sequence[int]):
-        for v in values:
-            self.observe(v)
+        fn = self._observe_native
+        if fn is None:
+            for v in values:
+                self.observe(v)
+            return
+        vals = np.asarray([int(v) % bb.P for v in values], np.uint32)
+        if vals.size == 0:
+            return
+        self.output_buffer.clear()
+        state = np.asarray(self.state, np.uint32)
+        inbuf = np.zeros(RATE, np.uint32)
+        k = len(self.input_buffer)
+        if k:
+            inbuf[:k] = self.input_buffer
+        k, duplexed = fn(state, inbuf, k, vals)
+        self.state = [int(x) for x in state]
+        self.input_buffer = [int(x) for x in inbuf[:k]]
+        if duplexed:
+            self.output_buffer = list(self.state[:RATE])
 
     def observe_ext(self, ext):
         self.observe_many(ext)
@@ -75,7 +111,6 @@ class Challenger:
         batches; the winning witness is then absorbed by the real
         transcript and double-checked with the scalar path.
         """
-        import numpy as np
         from ..poseidon.witness import permute_batch_host
 
         buf = list(self.input_buffer)
@@ -99,8 +134,9 @@ class Challenger:
         raise RuntimeError("grind failed")
 
     def copy(self) -> "Challenger":
-        c = Challenger()
+        c = Challenger.__new__(Challenger)
         c.state = list(self.state)
         c.input_buffer = list(self.input_buffer)
         c.output_buffer = list(self.output_buffer)
+        c._observe_native = self._observe_native
         return c

@@ -1181,10 +1181,12 @@ def device_open_rounds(rounds: List[DRound],
                         if zp == z:
                             rv[i][pi] = ys_all[off:off + w]
                     off += w
+        flat = []
         for mv in rv:                      # transcript order: (mat, point)
             for ys in mv:
                 for y in ys:
-                    challenger.observe_many(y)
+                    flat.extend(y)
+        challenger.observe_many(flat)      # one absorb call per round
         opened.append(rv)
 
     alpha = challenger.sample_ext()

@@ -80,6 +80,61 @@ class DomainEvalCtx:
         return ctx
 
 
+class BatchPointEvalCtx:
+    """Vectorized PointEvalCtx over k instances of the SAME chip (one per
+    shard): one walk of the constraint DAG evaluates all shards' opened
+    values together (ms-verifier hot path - the scalar walk repeated the
+    whole DAG per shard).
+
+    main_local/main_next: (k, W, 4) uint64 arrays; prep likewise or None;
+    sels: kind -> (k, 4) array. All ops are exact mod-p numpy ext math
+    (field.ext_np), so values equal the scalar path elementwise."""
+
+    def __init__(self, main_local, main_next, prep_local, prep_next,
+                 public_values, sels):
+        from ..field import ext_np as E_np
+        self.E = E_np
+        self.main_local = main_local
+        self.main_next = main_next
+        self.prep_local = prep_local
+        self.prep_next = prep_next
+        self.public_values = [int(v) % bb.P for v in (public_values or [])]
+        self.sels = sels
+        self.k = int(main_local.shape[0])
+        self._cache: Dict[int, np.ndarray] = {}
+
+    def eval(self, e: Expr) -> np.ndarray:
+        key = id(e)
+        v = self._cache.get(key)
+        if v is not None:
+            return v
+        E = self.E
+        if isinstance(e, Const):
+            v = np.zeros((self.k, 4), U)
+            v[:, 0] = e.val
+        elif isinstance(e, Col):
+            if e.matrix == "main":
+                m = self.main_local if e.rot == 0 else self.main_next
+            else:
+                m = self.prep_local if e.rot == 0 else self.prep_next
+            v = m[:, e.idx]
+        elif isinstance(e, Pub):
+            v = np.zeros((self.k, 4), U)
+            v[:, 0] = self.public_values[e.idx]
+        elif isinstance(e, Sel):
+            v = self.sels[e.kind]
+        elif isinstance(e, Add):
+            v = E.eadd(self.eval(e.a), self.eval(e.b))
+        elif isinstance(e, Sub):
+            v = E.esub(self.eval(e.a), self.eval(e.b))
+        elif isinstance(e, Mul):
+            v = E.emul(self.eval(e.a), self.eval(e.b))
+        else:
+            raise TypeError(e)
+        self._cache[key] = v
+        return v
+
+
 class PointEvalCtx:
     """Scalar evaluation at zeta from opened (extension) values.
 

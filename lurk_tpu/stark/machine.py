@@ -36,9 +36,9 @@ from ..logup import (build_permutation_trace, eval_perm_quotient_np,
                      eval_perm_at_point, perm_trace_width)
 from .challenger import Challenger
 from .errors import VerificationError
-from .eval import DomainEvalCtx, PointEvalCtx
+from .eval import BatchPointEvalCtx, DomainEvalCtx, PointEvalCtx
 from .fri import FriConfig, geom_powers
-from . import pcs
+from . import merkle, pcs
 
 U = np.uint64
 _P = U(bb.P)
@@ -445,11 +445,35 @@ class StarkMachine:
             for root in sp.main_roots:
                 challenger.observe_many(root)
 
-        total_cum = (0, 0, 0, 0)
+        # Phase 1 (serial per shard): walk each shard's transcript to
+        # derive its challenges and collect its constraint-check inputs.
+        infos = []
         for sp in proof.shard_proofs:
             ch = challenger.copy()
-            if not self._verify_shard(vk, sp, pv, ch):
+            info = self._shard_transcript(vk, sp, pv, ch)
+            if info is None:
                 return False
+            infos.append(info)
+
+        # Phase 2 (batched across shards): the constraint check at zeta,
+        # one DAG walk per distinct chip over all its shard instances.
+        if not self._batched_zeta_checks(vk, infos, pv):
+            return False
+
+        # Phase 3: PCS verification per shard with ONE MultiVerifier so
+        # the Merkle hashing of every shard's openings batches globally.
+        multi = merkle.MultiVerifier()
+        for sp, info in zip(proof.shard_proofs, infos):
+            if not pcs.verify_rounds(info["roots"], info["rounds_widths"],
+                                     info["rounds_lhs"],
+                                     info["rounds_points"], sp.pcs_proof,
+                                     self.config, info["ch"], multi=multi):
+                return False
+        if not multi.run():
+            return False
+
+        total_cum = (0, 0, 0, 0)
+        for sp in proof.shard_proofs:
             for cp in sp.chip_proofs:
                 total_cum = ext_s.eadd_s(total_cum, cp.cumulative_sum)
         return total_cum == (0, 0, 0, 0)
@@ -486,12 +510,15 @@ class StarkMachine:
                     return False
         return True
 
-    def _verify_shard(self, vk, sp: ShardProof, pv, ch: Challenger) -> bool:
+    def _shard_transcript(self, vk, sp: ShardProof, pv, ch: Challenger):
+        """Walk one shard's transcript: structural checks + challenge
+        derivation + the opening layout. Returns the info dict consumed by
+        the batched zeta checks and the PCS phase, or None on failure."""
         chips_by_name = {c.name: c for c in self.chips}
         chips = []
         for cp in sp.chip_proofs:
             if cp.name not in chips_by_name:
-                return False
+                return None
             chips.append(chips_by_name[cp.name])
         builders = [self.builder_for(c) for c in chips]
 
@@ -549,52 +576,123 @@ class StarkMachine:
         rounds_points.append([[zeta2]] * len(chips))
         roots.append(sp.quotient_roots)
 
+        # structural pre-check of the opened-value layout this shard's
+        # zeta checks will index into (verify_rounds re-checks shapes for
+        # the PCS math; the batched checks below need them valid first)
         opened = sp.pcs_proof.opened
-        main_r = 1 if has_prep else 0
-        perm_r = main_r + 1
-        quot_r = perm_r + 1
+        if len(opened) != len(rounds_widths):
+            return None
+        for rv, ws, rnd_pts in zip(opened, rounds_widths, rounds_points):
+            if len(rv) != len(ws):
+                return None
+            for mv, w, pts in zip(rv, ws, rnd_pts):
+                if len(mv) != len(pts):
+                    return None
+                for ys in mv:
+                    if len(ys) != w or any(len(y) != 4 for y in ys):
+                        return None
 
-        # constraint check at zeta per chip
-        for i, (chip, builder, cp) in enumerate(zip(chips, builders,
-                                                    sp.chip_proofs)):
-            log_h = cp.log_height
-            sels, zh = _sels_at_point(log_h, zeta)
-            main_local = opened[main_r][i][0]
-            main_next = opened[main_r][i][1]
+        return {
+            "chips": chips, "builders": builders, "r": r, "gamma": gamma,
+            "alpha": alpha, "zeta": zeta,
+            "roots": roots, "rounds_widths": rounds_widths,
+            "rounds_lhs": rounds_lhs, "rounds_points": rounds_points,
+            "prep_round_idx": prep_round_idx, "sp": sp, "ch": ch,
+        }
+
+    def _batched_zeta_checks(self, vk, infos, pv) -> bool:
+        """The constraint check at zeta for every (shard, chip), grouped
+        by chip: one BatchPointEvalCtx DAG walk per distinct chip covers
+        all its shard instances (the scalar per-shard walk dominated
+        multi-shard verify time)."""
+        from ..logup.constraints import eval_perm_at_point_batch
+        from ..field import ext_np as E_np
+        U64 = np.uint64
+
+        # group instances by chip name
+        groups: Dict[str, list] = {}
+        for info in infos:
+            sp = info["sp"]
+            has_prep = info["prep_round_idx"] is not None
+            main_r = 1 if has_prep else 0
+            for i, (chip, builder, cp) in enumerate(zip(
+                    info["chips"], info["builders"], sp.chip_proofs)):
+                groups.setdefault(chip.name, []).append((info, i, cp))
+
+        gen = (0, 1, 0, 0)
+        xpows = [(1, 0, 0, 0)]
+        for _ in range(3):
+            xpows.append(ext_s.emul_s(xpows[-1], gen))
+
+        for name, insts in groups.items():
+            k = len(insts)
+            info0, i0, _ = insts[0]
+            chip = info0["chips"][i0]
+            builder = info0["builders"][i0]
+            has_prep_chip = chip_preprocessed(chip) is not None
+            pidx = vk.prep_chip_names.index(chip.name) if has_prep_chip \
+                else None
+
+            def stack(rnd_key, midx_fn, point_i):
+                rows = []
+                for info, i, cp in insts:
+                    has_prep = info["prep_round_idx"] is not None
+                    main_r = 1 if has_prep else 0
+                    r_idx = {"prep": info["prep_round_idx"],
+                             "main": main_r, "perm": main_r + 1,
+                             "quot": main_r + 2}[rnd_key]
+                    rows.append(info["sp"].pcs_proof
+                                .opened[r_idx][midx_fn(i)][point_i])
+                return np.asarray(rows, U64) % np.uint64(bb.P)
+
+            main_local = stack("main", lambda i: i, 0)
+            main_next = stack("main", lambda i: i, 1)
+            perm_local = stack("perm", lambda i: i, 0)
+            perm_next = stack("perm", lambda i: i, 1)
+            qopen = stack("quot", lambda i: i, 0)          # (k, 8, 4)
             prep_local = prep_next = None
-            if chip_preprocessed(chip) is not None:
-                pidx = vk.prep_chip_names.index(chip.name)
-                prep_local = opened[prep_round_idx][pidx][0]
-                prep_next = opened[prep_round_idx][pidx][1]
-            pctx = PointEvalCtx(main_local, main_next, prep_local, prep_next,
-                                pv, sels)
-            folded = (0, 0, 0, 0)
-            for c in builder.constraints:
-                folded = ext_s.eadd_s(ext_s.emul_s(folded, alpha),
-                                      pctx.eval(c))
-            perm_local = opened[perm_r][i][0]
-            perm_next = opened[perm_r][i][1]
-            for cval in eval_perm_at_point(builder, pctx, perm_local,
-                                           perm_next, r, gamma,
-                                           cp.cumulative_sum):
-                folded = ext_s.eadd_s(ext_s.emul_s(folded, alpha), cval)
-            # quotient(zeta) = q0(zeta^2) + zeta * q1(zeta^2)
-            qopen = opened[quot_r][i][0]  # 8 ext values
+            if has_prep_chip:
+                prep_local = stack("prep", lambda i: pidx, 0)
+                prep_next = stack("prep", lambda i: pidx, 1)
 
-            def recombine(cols4):
-                acc = (0, 0, 0, 0)
-                xp = (1, 0, 0, 0)
-                gen = (0, 1, 0, 0)
-                for c4 in cols4:
-                    acc = ext_s.eadd_s(acc, ext_s.emul_s(c4, xp))
-                    xp = ext_s.emul_s(xp, gen)
+            sels_arr = {kind: np.empty((k, 4), U64)
+                        for kind in ("first", "last", "transition")}
+            zh_arr = np.empty((k, 4), U64)
+            alphas = np.empty((k, 4), U64)
+            zetas = np.empty((k, 4), U64)
+            cums = np.empty((k, 4), U64)
+            for j, (info, i, cp) in enumerate(insts):
+                sels, zh = _sels_at_point(cp.log_height, info["zeta"])
+                for kind in sels_arr:
+                    sels_arr[kind][j] = sels[kind]
+                zh_arr[j] = zh
+                alphas[j] = info["alpha"]
+                zetas[j] = info["zeta"]
+                cums[j] = np.asarray(cp.cumulative_sum, U64) % np.uint64(bb.P)
+
+            bctx = BatchPointEvalCtx(main_local, main_next, prep_local,
+                                     prep_next, pv, sels_arr)
+            folded = np.zeros((k, 4), U64)
+            for c in builder.constraints:
+                folded = E_np.eadd(E_np.emul(folded, alphas), bctx.eval(c))
+            # r/gamma are sampled before any shard-specific absorption and
+            # are identical across shards (prover and verifier both fork
+            # the challenger after the all-shard main-root absorb)
+            for cval in eval_perm_at_point_batch(
+                    builder, bctx, perm_local, perm_next, info0["r"],
+                    info0["gamma"], cums):
+                folded = E_np.eadd(E_np.emul(folded, alphas), cval)
+
+            def recombine(cols):                 # (k, 4, 4) -> (k, 4)
+                acc = np.zeros((k, 4), U64)
+                for l in range(4):
+                    xp = np.broadcast_to(np.asarray(xpows[l], U64), (k, 4))
+                    acc = E_np.eadd(acc, E_np.emul(cols[:, l], xp))
                 return acc
 
-            q0 = recombine(qopen[:4])
-            q1 = recombine(qopen[4:])
-            quotient = ext_s.eadd_s(q0, ext_s.emul_s(zeta, q1))
-            if folded != ext_s.emul_s(quotient, zh):
+            q0 = recombine(qopen[:, :4])
+            q1 = recombine(qopen[:, 4:])
+            quotient = E_np.eadd(q0, E_np.emul(zetas, q1))
+            if not np.array_equal(folded, E_np.emul(quotient, zh_arr)):
                 return False
-
-        return pcs.verify_rounds(roots, rounds_widths, rounds_lhs,
-                                 rounds_points, sp.pcs_proof, self.config, ch)
+        return True

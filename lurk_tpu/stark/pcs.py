@@ -181,14 +181,16 @@ def open_rounds(rounds: List[CommittedRound],
     for rnd, rnd_points in zip(rounds, points):
         rv = []
         all_coeffs = batch_coeffs(rnd.matrices)
+        flat: List[int] = []
         for coeffs, pts in zip(all_coeffs, rnd_points):
             mv = []
             for z in pts:
                 ys = eval_coeffs_at(coeffs, z)
                 mv.append(ys)
                 for y in ys:
-                    challenger.observe_many(y)
+                    flat.extend(y)
             rv.append(mv)
+        challenger.observe_many(flat)   # same transcript order, one absorb
         opened.append(rv)
 
     alpha = challenger.sample_ext()
@@ -240,12 +242,17 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
                   trace_log_heights: List[List[int]],
                   points: List[List[List[tuple]]],
                   proof: PcsProof, config: FriConfig,
-                  challenger: Challenger) -> bool:
+                  challenger: Challenger, multi=None) -> bool:
     """roots[r] = per-round roots (height desc); widths/trace_log_heights
-    describe each round's matrices (trace heights; LDE adds LOG_BLOWUP)."""
+    describe each round's matrices (trace heights; LDE adds LOG_BLOWUP).
+
+    With an external `multi` (merkle.MultiVerifier), Merkle jobs are only
+    REGISTERED here; the caller runs them - the machine verifier shares
+    one MultiVerifier across all shards so the hashing batches globally."""
     opened = proof.opened
     if len(opened) != len(points):
         return False
+    flat_opened: List[int] = []
     for rv, rnd_points in zip(opened, points):
         if len(rv) != len(rnd_points):
             return False
@@ -254,7 +261,9 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
                 return False
             for ys in mv:
                 for y in ys:
-                    challenger.observe_many(y)
+                    flat_opened.extend(y)
+    # same transcript order as per-value observes, one native absorb call
+    challenger.observe_many(flat_opened)
     alpha = challenger.sample_ext()
 
     lde_lhs = [[lh + LOG_BLOWUP for lh in rnd] for rnd in trace_log_heights]
@@ -355,7 +364,9 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
         # one MultiVerifier; the joint run() batches every level's hashing
         # across ALL trees - the difference between ~500 under-sized native
         # Poseidon2 calls and ~40 full-width ones per verify.
-        multi = merkle.MultiVerifier()
+        deferred = multi is not None
+        if multi is None:
+            multi = merkle.MultiVerifier()
         for r, rnd_roots in enumerate(roots):
             groups = round_groups[r]
             if len(rnd_roots) != len(groups):
@@ -376,7 +387,7 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
         if not fri.verify(proof.fri_proof, config, max_log, input_values_fn,
                           challenger, multi=multi):
             return False
-        return multi.run()
+        return True if deferred else multi.run()
     except (VerificationError, OverflowError, ValueError, TypeError):
         return False
 

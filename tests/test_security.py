@@ -201,11 +201,11 @@ def test_verifier_bug_propagates_not_false(proven):
     AttributeError from a broken internal) must surface as an error, not
     be silently converted into an "invalid proof" verdict."""
     machine, vk, proof = proven
-    orig = machine._verify_shard
-    machine._verify_shard = lambda *a, **k: (None).no_such_attribute
+    orig = machine._shard_transcript
+    machine._shard_transcript = lambda *a, **k: (None).no_such_attribute
     try:
         with pytest.raises(AttributeError):
             machine.verify(vk, proof, Challenger())
     finally:
-        machine._verify_shard = orig
+        machine._shard_transcript = orig
     assert machine.verify(vk, proof, Challenger())
