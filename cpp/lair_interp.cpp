@@ -251,40 +251,129 @@ void poseidon2(const PoseidonCfg& cfg, u32* s) {
 
 struct Record { u32 nonce = 0, count = 0; };
 
-struct VecHash {
-  size_t operator()(const std::vector<u32>& v) const {
-    size_t h = 0xcbf29ce484222325ull;
-    for (u32 x : v) { h ^= x; h *= 0x100000001b3ull; }
-    return h;
+// ---------------------------------------------------------------------------
+// flat query storage
+//
+// The interpreter's memo tables were node-based unordered_map<vector<u32>,.>
+// keyed by freshly allocated vectors; the profile showed the hot loop
+// dominated by per-call key allocation, double hashing (find then insert)
+// and QueryResult reallocation moves. Keys of any one table share a fixed
+// stride (a Lair function's input arity / a memory table's width), so the
+// tables are now open-addressing maps over a flat key arena with cached
+// 32-bit hashes, and the per-query values live in structure-of-arrays form
+// with the variable-length streams (requires / depth-requires / hints) in
+// shared arenas. Same data, same insertion order (index == nonce), no
+// per-query allocations.
+// ---------------------------------------------------------------------------
+
+struct FlatMap {
+  u32 stride = 1;
+  u32 mask = 0;
+  u32 count = 0;
+  std::vector<u32> keys;      // count * stride, insertion order
+  std::vector<u32> slots;     // mask+1 entries: index+1, 0 = empty
+  std::vector<u32> hashes;    // cached key hash per occupied slot
+
+  void init(u32 s) {
+    stride = s;
+    mask = 255;
+    slots.assign(mask + 1, 0);
+    hashes.assign(mask + 1, 0);
+  }
+
+  static u32 hash_key(const u32* k, u32 stride) {
+    u64 h = 0xcbf29ce484222325ull;
+    for (u32 i = 0; i < stride; i++) {
+      h ^= k[i];
+      h *= 0x100000001b3ull;
+    }
+    h ^= h >> 32;
+    return (u32)h;
+  }
+
+  void grow() {
+    u32 new_mask = mask * 2 + 1;
+    std::vector<u32> ns(new_mask + 1, 0), nh(new_mask + 1, 0);
+    for (u32 i = 0; i <= mask; i++) {
+      u32 v = slots[i];
+      if (!v) continue;
+      u32 j = hashes[i] & new_mask;
+      while (ns[j]) j = (j + 1) & new_mask;
+      ns[j] = v;
+      nh[j] = hashes[i];
+    }
+    slots.swap(ns);
+    hashes.swap(nh);
+    mask = new_mask;
+  }
+
+  const u32* key(u32 i) const { return keys.data() + (size_t)i * stride; }
+
+  // find-or-insert in one probe sequence; returns (index, inserted)
+  std::pair<u32, bool> get_or_insert(const u32* k) {
+    if ((u64)(count + 1) * 4 > (u64)(mask + 1) * 3) grow();
+    u32 h = hash_key(k, stride);
+    u32 j = h & mask;
+    while (true) {
+      u32 v = slots[j];
+      if (!v) break;
+      if (hashes[j] == h &&
+          std::memcmp(key(v - 1), k, (size_t)stride * sizeof(u32)) == 0)
+        return {v - 1, false};
+      j = (j + 1) & mask;
+    }
+    u32 idx = count++;
+    slots[j] = idx + 1;
+    hashes[j] = h;
+    keys.insert(keys.end(), k, k + stride);
+    return {idx, true};
+  }
+
+  int64_t find(const u32* k) const {
+    u32 h = hash_key(k, stride);
+    u32 j = h & mask;
+    while (true) {
+      u32 v = slots[j];
+      if (!v) return -1;
+      if (hashes[j] == h &&
+          std::memcmp(key(v - 1), k, (size_t)stride * sizeof(u32)) == 0)
+        return (int64_t)(v - 1);
+      j = (j + 1) & mask;
+    }
   }
 };
 
-struct QueryResult {
-  std::vector<u32> output;
-  bool has_output = false;
-  Record provide;
-  std::vector<u32> requires_;        // (nonce,count) pairs flattened
-  u32 depth = 0;
-  std::vector<u32> depth_requires;   // pairs flattened
-  u32 path = 0;
-  std::vector<u32> hints;
-};
+// Per-function memo table: FlatMap keyed by input + SoA query results.
+// Index into the map IS the nonce (insertion order), as in execute.py.
+struct FuncQueries {
+  FlatMap map;
+  u32 out_stride = 0;
+  std::vector<u32> out;         // count * out_stride (valid once done)
+  std::vector<Record> provide;
+  std::vector<u32> depth, path;
+  std::vector<uint8_t> done;
+  // variable-length per-query streams, appended at Return time
+  std::vector<u32> req_off, req_len, dreq_off, dreq_len, hint_off, hint_len;
+  std::vector<u32> req_arena, dreq_arena, hint_arena;
 
-struct IndexMap {
-  std::unordered_map<std::vector<u32>, u32, VecHash> idx;
-  std::vector<std::vector<u32>> keys;
-  std::vector<QueryResult> values;
-
-  int64_t find(const std::vector<u32>& k) const {
-    auto it = idx.find(k);
-    return it == idx.end() ? -1 : (int64_t)it->second;
+  u32 insert_row(const u32* k) {
+    auto [idx, inserted] = map.get_or_insert(k);
+    if (inserted) push_defaults();
+    return idx;
   }
-  u32 insert(const std::vector<u32>& k) {
-    u32 i = (u32)keys.size();
-    idx.emplace(k, i);
-    keys.push_back(k);
-    values.emplace_back();
-    return i;
+
+  void push_defaults() {
+    out.resize(out.size() + out_stride);
+    provide.push_back({});
+    depth.push_back(0);
+    path.push_back(0);
+    done.push_back(0);
+    req_off.push_back(0);
+    req_len.push_back(0);
+    dreq_off.push_back(0);
+    dreq_len.push_back(0);
+    hint_off.push_back(0);
+    hint_len.push_back(0);
   }
 };
 
@@ -295,13 +384,15 @@ int mem_index_from_len(size_t n) {
 }
 
 struct ByteRecords {
-  // input u16 -> 6 Records (range_u8, range_u16, less_than, and, xor, or)
-  std::unordered_map<u32, std::array<Record, 6>> records;
+  // direct-indexed by the u16 byte-pair input (was a per-input hash map)
+  std::vector<std::array<Record, 6>> recs;
   std::vector<u32>* requires_ = nullptr;
   u32 nonce = 0;
 
+  ByteRecords() : recs(1 << 16) {}
+
   void lookup(u32 input, int slot) {
-    auto& rec = records[input][slot];
+    Record& rec = recs[input][slot];
     requires_->push_back(rec.nonce);
     requires_->push_back(rec.count);
     rec.nonce = nonce;
@@ -312,20 +403,14 @@ struct ByteRecords {
   bool less_than(u32 a, u32 b) { lookup(a | (b << 8), 2); return a < b; }
 };
 
-struct Interp;
-
-struct CallerState {
-  bool preimg;
-  u32 func_index, nonce;
-  std::vector<u32> map, requires_, depths, depth_requires, hints;
-};
-
 struct Interp {
   Toplevel* tl;
-  std::vector<IndexMap> func_queries;
-  std::vector<std::unordered_map<std::vector<u32>, std::vector<u32>, VecHash>>
-      inv_func_queries;  // only for invertible funcs
-  IndexMap mem_queries[6];
+  std::vector<FuncQueries> func_queries;
+  // inverse maps for invertible funcs: keyed by output, value = input row
+  std::vector<FlatMap> inv_maps;
+  std::vector<std::vector<u32>> inv_inps;   // count * input_size
+  FlatMap mem_maps[6];
+  std::vector<Record> mem_provide[6];
   ByteRecords bytes;
   std::vector<std::vector<u32>> emitted;
   std::vector<u32> public_values;
@@ -333,7 +418,36 @@ struct Interp {
 
   Interp(Toplevel* t) : tl(t) {
     func_queries.resize(t->funcs.size());
-    inv_func_queries.resize(t->funcs.size());
+    inv_maps.resize(t->funcs.size());
+    inv_inps.resize(t->funcs.size());
+    for (size_t f = 0; f < t->funcs.size(); f++) {
+      func_queries[f].map.init(t->funcs[f].input_size);
+      func_queries[f].out_stride = t->funcs[f].output_size;
+      // init every inverse map (not just invertible funcs): find() on a
+      // default-constructed FlatMap would probe an empty slot vector
+      inv_maps[f].init(t->funcs[f].output_size);
+    }
+    for (int m = 0; m < 6; m++) mem_maps[m].init(MEM_SIZES[m]);
+  }
+
+  // inject: keep-existing semantics (matches unordered_map::emplace)
+  void inv_inject(u32 fi, const u32* out_key, const u32* inp, u32 in_sz) {
+    auto [idx, inserted] = inv_maps[fi].get_or_insert(out_key);
+    (void)idx;
+    auto& arena = inv_inps[fi];
+    if (inserted) arena.insert(arena.end(), inp, inp + in_sz);
+  }
+
+  // runtime: overwrite semantics (matches map[out] = inp)
+  void inv_set(u32 fi, const u32* out_key, const u32* inp, u32 in_sz) {
+    auto [idx, inserted] = inv_maps[fi].get_or_insert(out_key);
+    auto& arena = inv_inps[fi];
+    if (inserted) {
+      arena.insert(arena.end(), inp, inp + in_sz);
+    } else {
+      std::memcpy(arena.data() + (size_t)idx * in_sz, inp,
+                  (size_t)in_sz * sizeof(u32));
+    }
   }
 };
 
@@ -347,15 +461,16 @@ void depth_less_than_lookups(u32 lhs, u32 rhs, ByteRecords& bytes) {
   bytes.less_than(i1, i2);
 }
 
-bool run_extern(Interp& st, u32 chip_idx, const std::vector<u32>& inp,
+bool run_extern(Interp& st, u32 chip_idx, const u32* inp,
                 u32 nonce, std::vector<u32>& requires_, std::vector<u32>& out) {
   const ChipInfo& ci = st.tl->chips[chip_idx];
   switch (ci.kind) {
     case CHIP_HASH24: case CHIP_HASH32: case CHIP_HASH40: {
       const PoseidonCfg& cfg = st.tl->pcfg[ci.kind - CHIP_HASH24];
-      std::vector<u32> s(inp);
-      poseidon2(cfg, s.data());
-      out.assign(s.begin(), s.begin() + 8);
+      u32 s[48];
+      std::memcpy(s, inp, ci.input_size * sizeof(u32));
+      poseidon2(cfg, s);
+      out.assign(s, s + 8);
       return true;
     }
     default: break;
@@ -497,163 +612,186 @@ bool run_extern(Interp& st, u32 chip_idx, const std::vector<u32>& inp,
 }
 
 // The interpreter main loop. Returns false + st.error on failure.
+//
+// One Frame per active function call (Choose REPLACES the top frame, so
+// each activation owns exactly one). The per-activation value map and the
+// requires / depths / depth-requires / hints streams live as segments of
+// five shared stacks with per-frame base offsets (CallerCtx) - no per-call
+// vector allocation, no CallerState moves.
 bool execute_func(Interp& st, u32 entry_idx, const std::vector<u32>& args) {
   Toplevel& tl = *st.tl;
   u32 func_index = entry_idx;
-  u32 nonce = st.func_queries[func_index].insert(args);
-  st.func_queries[func_index].values[nonce].provide.count = 1;
-
-  std::vector<u32> map(args), requires_, depths, depth_requires, hints;
+  FuncQueries* fq = &st.func_queries[func_index];
+  u32 nonce = fq->insert_row(args.data());
+  fq->provide[nonce].count = 1;
   bool partial = tl.funcs[func_index].partial;
 
-  struct Entry { bool is_op; const Op* op; const Ctrl* ctrl; };
-  std::vector<Entry> stack;
-  std::vector<CallerState> callers;
-
-  auto push_block = [&](const Block& b) {
-    stack.push_back({false, nullptr, &b.ctrl});
-    for (auto it = b.ops.rbegin(); it != b.ops.rend(); ++it)
-      stack.push_back({true, &*it, nullptr});
+  struct Frame { const Op* op; const Op* end; const Ctrl* ctrl; };
+  struct CallerCtx {
+    u32 preimg, func_index, nonce;
+    u32 vbase, rbase, dbase, qbase, hbase;
   };
-  push_block(tl.funcs[func_index].body);
 
-  while (!stack.empty()) {
-    Entry e = stack.back();
-    stack.pop_back();
-    if (e.is_op) {
-      const Op& op = *e.op;
+  std::vector<u32> vstack(args);   // value maps
+  std::vector<u32> rstack;         // requires (nonce,count pairs)
+  std::vector<u32> dstack;         // callee depths (partial funcs)
+  std::vector<u32> qstack;         // depth-requires
+  std::vector<u32> hstack;         // hints
+  u32 vbase = 0, rbase = 0, dbase = 0, qbase = 0, hbase = 0;
+
+  std::vector<Frame> frames;
+  std::vector<CallerCtx> callers;
+  std::vector<u32> scratch, outbuf;
+  frames.reserve(256);
+  callers.reserve(256);
+
+  auto enter_block = [&](const Block& b) {
+    frames.push_back({b.ops.data(), b.ops.data() + b.ops.size(), &b.ctrl});
+  };
+  auto replace_block = [&](const Block& b) {
+    frames.back() = {b.ops.data(), b.ops.data() + b.ops.size(), &b.ctrl};
+  };
+  enter_block(tl.funcs[func_index].body);
+
+  while (!frames.empty()) {
+    Frame& f = frames.back();
+    if (f.op != f.end) {
+      const Op& op = *f.op++;
+      const u32* V = vstack.data() + vbase;
       switch (op.tag) {
-        case OP_CONST: map.push_back(op.a); break;
-        case OP_ADD: map.push_back(fadd(map[op.a], map[op.b])); break;
-        case OP_SUB: map.push_back(fsub(map[op.a], map[op.b])); break;
-        case OP_MUL: map.push_back(fmul(map[op.a], map[op.b])); break;
+        case OP_CONST: vstack.push_back(op.a); break;
+        case OP_ADD: vstack.push_back(fadd(V[op.a], V[op.b])); break;
+        case OP_SUB: vstack.push_back(fsub(V[op.a], V[op.b])); break;
+        case OP_MUL: vstack.push_back(fmul(V[op.a], V[op.b])); break;
         case OP_INV: {
-          if (map[op.a] == 0) { st.error = "inverse of 0"; return false; }
-          map.push_back(finv(map[op.a]));
+          if (V[op.a] == 0) { st.error = "inverse of 0"; return false; }
+          vstack.push_back(finv(V[op.a]));
           break;
         }
-        case OP_NOT: map.push_back(map[op.a] == 0 ? 1 : 0); break;
+        case OP_NOT: vstack.push_back(V[op.a] == 0 ? 1 : 0); break;
         case OP_ASSERT_EQ:
           for (size_t i = 0; i < op.xs.size(); i++)
-            if (map[op.xs[i]] != map[op.ys[i]]) { st.error = "AssertEq failed"; return false; }
+            if (V[op.xs[i]] != V[op.ys[i]]) { st.error = "AssertEq failed"; return false; }
           break;
         case OP_ASSERT_NE: {
           bool unequal = false;
           for (size_t i = 0; i < op.xs.size(); i++)
-            if (map[op.xs[i]] != map[op.ys[i]]) { unequal = true; break; }
+            if (V[op.xs[i]] != V[op.ys[i]]) { unequal = true; break; }
           if (!unequal) { st.error = "AssertNe failed"; return false; }
           break;
         }
         case OP_CONTAINS: {
-          u32 b = map[op.a];
+          u32 b = V[op.a];
           bool found = false;
-          for (u32 x : op.xs) if (map[x] == b) { found = true; break; }
+          for (u32 x : op.xs) if (V[x] == b) { found = true; break; }
           if (!found) { st.error = "Contains failed"; return false; }
           break;
         }
         case OP_CALL: case OP_PREIMG: {
           u32 callee = op.a;
-          std::vector<u32> inp;
-          if (op.tag == OP_CALL) {
-            inp.reserve(op.xs.size());
-            for (u32 v : op.xs) inp.push_back(map[v]);
-          } else {
-            std::vector<u32> outv;
-            outv.reserve(op.xs.size());
-            for (u32 v : op.xs) outv.push_back(map[v]);
-            auto& inv = st.inv_func_queries[callee];
-            auto it = inv.find(outv);
-            if (it == inv.end()) { st.error = "Preimg not found"; return false; }
-            inp = it->second;
+          FuncQueries& cq = st.func_queries[callee];
+          u32 in_sz = cq.map.stride;
+          scratch.clear();
+          for (u32 v : op.xs) scratch.push_back(V[v]);
+          if (op.tag == OP_PREIMG) {
+            int64_t ii = st.inv_maps[callee].find(scratch.data());
+            if (ii < 0) { st.error = "Preimg not found"; return false; }
+            const u32* inp = st.inv_inps[callee].data() + (size_t)ii * in_sz;
+            scratch.assign(inp, inp + in_sz);
           }
-          int64_t qi = st.func_queries[callee].find(inp);
-          if (qi >= 0) {
-            QueryResult& res = st.func_queries[callee].values[qi];
-            if (!res.has_output) { st.error = "Loop detected"; return false; }
-            const std::vector<u32>& ext =
-                op.tag == OP_PREIMG ? st.func_queries[callee].keys[qi] : res.output;
-            map.insert(map.end(), ext.begin(), ext.end());
-            hints.insert(hints.end(), ext.begin(), ext.end());
-            requires_.push_back(res.provide.nonce);
-            requires_.push_back(res.provide.count);
-            res.provide.nonce = nonce;
-            res.provide.count += 1;
+          auto [qi, inserted] = cq.map.get_or_insert(scratch.data());
+          if (!inserted) {
+            if (!cq.done[qi]) { st.error = "Loop detected"; return false; }
+            const u32* ext;
+            u32 ext_n;
+            if (op.tag == OP_PREIMG) {
+              ext = cq.map.key(qi);
+              ext_n = in_sz;
+            } else {
+              ext = cq.out.data() + (size_t)qi * cq.out_stride;
+              ext_n = cq.out_stride;
+            }
+            vstack.insert(vstack.end(), ext, ext + ext_n);
+            hstack.insert(hstack.end(), ext, ext + ext_n);
+            Record& pr = cq.provide[qi];
+            rstack.push_back(pr.nonce);
+            rstack.push_back(pr.count);
+            pr.nonce = nonce;
+            pr.count += 1;
             if (partial && tl.funcs[callee].partial) {
-              depths.push_back(res.depth);
-              hints.push_back(res.depth);
+              dstack.push_back(cq.depth[qi]);
+              hstack.push_back(cq.depth[qi]);
             }
           } else {
-            u32 callee_nonce = st.func_queries[callee].insert(inp);
-            callers.push_back(CallerState{op.tag == OP_PREIMG, func_index, nonce,
-                                          std::move(map), std::move(requires_),
-                                          std::move(depths), std::move(depth_requires),
-                                          std::move(hints)});
-            // stash partial flag inside caller via func_index lookup on pop
+            cq.push_defaults();
+            callers.push_back(CallerCtx{op.tag == OP_PREIMG, func_index,
+                                        nonce, vbase, rbase, dbase, qbase,
+                                        hbase});
             func_index = callee;
-            nonce = callee_nonce;
+            nonce = qi;
             partial = tl.funcs[callee].partial;
-            map = inp;
-            requires_.clear();
-            depths.clear();
-            depth_requires.clear();
-            hints.clear();
-            push_block(tl.funcs[callee].body);
+            vbase = (u32)vstack.size();
+            rbase = (u32)rstack.size();
+            dbase = (u32)dstack.size();
+            qbase = (u32)qstack.size();
+            hbase = (u32)hstack.size();
+            vstack.insert(vstack.end(), scratch.begin(), scratch.end());
+            enter_block(tl.funcs[callee].body);
           }
           break;
         }
         case OP_STORE: {
-          std::vector<u32> vals;
-          vals.reserve(op.xs.size());
-          for (u32 v : op.xs) vals.push_back(map[v]);
-          int mi = mem_index_from_len(vals.size());
+          scratch.clear();
+          for (u32 v : op.xs) scratch.push_back(V[v]);
+          int mi = mem_index_from_len(scratch.size());
           if (mi < 0) { st.error = "bad mem width"; return false; }
-          IndexMap& mm = st.mem_queries[mi];
-          int64_t i = mm.find(vals);
-          if (i < 0) i = mm.insert(vals);
-          QueryResult& res = mm.values[i];
-          map.push_back((u32)(i + 1));
-          hints.push_back((u32)(i + 1));
-          requires_.push_back(res.provide.nonce);
-          requires_.push_back(res.provide.count);
-          res.provide.nonce = nonce;
-          res.provide.count += 1;
+          auto [i, inserted] = st.mem_maps[mi].get_or_insert(scratch.data());
+          if (inserted) st.mem_provide[mi].push_back({});
+          Record& res = st.mem_provide[mi][i];
+          vstack.push_back(i + 1);
+          hstack.push_back(i + 1);
+          rstack.push_back(res.nonce);
+          rstack.push_back(res.count);
+          res.nonce = nonce;
+          res.count += 1;
           break;
         }
         case OP_LOAD: {
-          u32 ptr = map[op.b];
+          u32 ptr = V[op.b];
           int mi = mem_index_from_len(op.a);
-          IndexMap& mm = st.mem_queries[mi];
-          if (ptr == 0 || ptr > mm.keys.size()) { st.error = "Unbound pointer"; return false; }
-          const std::vector<u32>& vals = mm.keys[ptr - 1];
-          QueryResult& res = mm.values[ptr - 1];
-          map.insert(map.end(), vals.begin(), vals.end());
-          hints.insert(hints.end(), vals.begin(), vals.end());
-          requires_.push_back(res.provide.nonce);
-          requires_.push_back(res.provide.count);
-          res.provide.nonce = nonce;
-          res.provide.count += 1;
+          FlatMap& mm = st.mem_maps[mi];
+          if (ptr == 0 || ptr > mm.count) { st.error = "Unbound pointer"; return false; }
+          const u32* vals = mm.key(ptr - 1);
+          Record& res = st.mem_provide[mi][ptr - 1];
+          vstack.insert(vstack.end(), vals, vals + mm.stride);
+          hstack.insert(hstack.end(), vals, vals + mm.stride);
+          rstack.push_back(res.nonce);
+          rstack.push_back(res.count);
+          res.nonce = nonce;
+          res.count += 1;
           break;
         }
         case OP_EXTERN: {
-          std::vector<u32> inp, out;
-          inp.reserve(op.xs.size());
-          for (u32 v : op.xs) inp.push_back(map[v]);
-          if (!run_extern(st, op.a, inp, nonce, requires_, out)) return false;
-          map.insert(map.end(), out.begin(), out.end());
+          scratch.clear();
+          for (u32 v : op.xs) scratch.push_back(V[v]);
+          outbuf.clear();
+          if (!run_extern(st, op.a, scratch.data(), nonce, rstack, outbuf))
+            return false;
+          vstack.insert(vstack.end(), outbuf.begin(), outbuf.end());
           break;
         }
         case OP_EMIT: {
           std::vector<u32> vals;
-          for (u32 v : op.xs) vals.push_back(map[v]);
+          for (u32 v : op.xs) vals.push_back(V[v]);
           st.emitted.push_back(std::move(vals));
           break;
         }
         case OP_RANGE_U8: {
-          st.bytes.requires_ = &requires_;
+          st.bytes.requires_ = &rstack;
           st.bytes.nonce = nonce;
           for (size_t i = 0; i < op.xs.size(); i += 2) {
-            u32 a = map[op.xs[i]];
-            u32 b = i + 1 < op.xs.size() ? map[op.xs[i + 1]] : 0;
+            u32 a = V[op.xs[i]];
+            u32 b = i + 1 < op.xs.size() ? V[op.xs[i + 1]] : 0;
             if (a > 255 || b > 255) { st.error = "not in u8 range"; return false; }
             st.bytes.range_u8_pair(a, b);
           }
@@ -662,69 +800,100 @@ bool execute_func(Interp& st, u32 entry_idx, const std::vector<u32>& args) {
         case OP_BREAKPOINT: case OP_DEBUG: break;
       }
     } else {
-      const Ctrl& c = *e.ctrl;
+      const Ctrl& c = *f.ctrl;
+      const u32* V = vstack.data() + vbase;
       if (c.tag == CTRL_RETURN) {
-        std::vector<u32> out;
-        out.reserve(c.vals.size());
-        for (u32 v : c.vals) out.push_back(map[v]);
-        IndexMap& fq = st.func_queries[func_index];
-        QueryResult& res = fq.values[nonce];
+        outbuf.clear();
+        for (u32 v : c.vals) outbuf.push_back(V[v]);
+        FuncQueries& q = st.func_queries[func_index];
         if (tl.funcs[func_index].invertible)
-          st.inv_func_queries[func_index][out] = fq.keys[nonce];
+          st.inv_set(func_index, outbuf.data(), q.map.key(nonce),
+                     q.map.stride);
         if (partial) {
-          st.bytes.requires_ = &depth_requires;
+          st.bytes.requires_ = &qstack;
           st.bytes.nonce = nonce;
           u32 depth = 0;
-          for (u32 d : depths) depth = std::max(depth, d + 1);
+          for (size_t i = dbase; i < dstack.size(); i++)
+            depth = std::max(depth, dstack[i] + 1);
           for (int i = 0; i < 4; i += 2)
             st.bytes.range_u8_pair((depth >> (8 * i)) & 0xFF,
                                    (depth >> (8 * (i + 1))) & 0xFF);
-          for (u32 d : depths) depth_less_than_lookups(d, depth, st.bytes);
-          res.depth = depth;
+          for (size_t i = dbase; i < dstack.size(); i++)
+            depth_less_than_lookups(dstack[i], depth, st.bytes);
+          q.depth[nonce] = depth;
         }
-        res.output = out;
-        res.has_output = true;
-        res.requires_ = std::move(requires_);
-        res.depth_requires = std::move(depth_requires);
-        res.path = c.ident;
-        res.hints = std::move(hints);
+        std::memcpy(q.out.data() + (size_t)nonce * q.out_stride,
+                    outbuf.data(), outbuf.size() * sizeof(u32));
+        q.done[nonce] = 1;
+        q.path[nonce] = c.ident;
+        q.req_off[nonce] = (u32)q.req_arena.size();
+        q.req_len[nonce] = (u32)(rstack.size() - rbase);
+        q.req_arena.insert(q.req_arena.end(), rstack.begin() + rbase,
+                           rstack.end());
+        q.dreq_off[nonce] = (u32)q.dreq_arena.size();
+        q.dreq_len[nonce] = (u32)(qstack.size() - qbase);
+        q.dreq_arena.insert(q.dreq_arena.end(), qstack.begin() + qbase,
+                            qstack.end());
+        q.hint_off[nonce] = (u32)q.hint_arena.size();
+        q.hint_len[nonce] = (u32)(hstack.size() - hbase);
+        q.hint_arena.insert(q.hint_arena.end(), hstack.begin() + hbase,
+                            hstack.end());
+        frames.pop_back();
         if (!callers.empty()) {
-          CallerState cs = std::move(callers.back());
+          CallerCtx cs = callers.back();
           callers.pop_back();
           bool callee_partial = partial;
-          const std::vector<u32>& inp = fq.keys[nonce];
+          u32 callee_idx = func_index, callee_nonce = nonce;
+          // drop the callee's stack segments, restore the caller's bases
+          vstack.resize(vbase);
+          rstack.resize(rbase);
+          dstack.resize(dbase);
+          qstack.resize(qbase);
+          hstack.resize(hbase);
           func_index = cs.func_index;
           nonce = cs.nonce;
-          map = std::move(cs.map);
-          requires_ = std::move(cs.requires_);
-          depths = std::move(cs.depths);
-          depth_requires = std::move(cs.depth_requires);
-          hints = std::move(cs.hints);
+          vbase = cs.vbase;
+          rbase = cs.rbase;
+          dbase = cs.dbase;
+          qbase = cs.qbase;
+          hbase = cs.hbase;
           partial = tl.funcs[func_index].partial;
-          const std::vector<u32>& ext = cs.preimg ? inp : res.output;
-          map.insert(map.end(), ext.begin(), ext.end());
-          hints.insert(hints.end(), ext.begin(), ext.end());
-          requires_.push_back(res.provide.nonce);
-          requires_.push_back(res.provide.count);
-          res.provide.nonce = nonce;
-          res.provide.count += 1;
+          FuncQueries& cq = st.func_queries[callee_idx];
+          const u32* ext;
+          u32 ext_n;
+          if (cs.preimg) {
+            ext = cq.map.key(callee_nonce);
+            ext_n = cq.map.stride;
+          } else {
+            ext = cq.out.data() + (size_t)callee_nonce * cq.out_stride;
+            ext_n = cq.out_stride;
+          }
+          vstack.insert(vstack.end(), ext, ext + ext_n);
+          hstack.insert(hstack.end(), ext, ext + ext_n);
+          Record& pr = cq.provide[callee_nonce];
+          rstack.push_back(pr.nonce);
+          rstack.push_back(pr.count);
+          pr.nonce = nonce;
+          pr.count += 1;
           if (partial && callee_partial) {
-            depths.push_back(res.depth);
-            hints.push_back(res.depth);
+            dstack.push_back(cq.depth[callee_nonce]);
+            hstack.push_back(cq.depth[callee_nonce]);
           }
         } else {
           // entry function returned
           u32 final_depth = 0;
-          for (u32 d : depths) final_depth = std::max(final_depth, d + 1);
+          for (size_t i = dbase; i < dstack.size(); i++)
+            final_depth = std::max(final_depth, dstack[i] + 1);
           st.public_values = args;
-          st.public_values.insert(st.public_values.end(), out.begin(), out.end());
+          st.public_values.insert(st.public_values.end(), outbuf.begin(),
+                                  outbuf.end());
           if (tl.funcs[entry_idx].partial)
             for (int i = 0; i < 4; i++)
               st.public_values.push_back((final_depth >> (8 * i)) & 0xFF);
           return true;
         }
       } else if (c.tag == CTRL_CHOOSE) {
-        u32 v = map[c.var];
+        u32 v = V[c.var];
         const Block* blk = nullptr;
         for (size_t i = 0; i < c.branch_keys.size(); i++) {
           for (u32 k : c.branch_keys[i])
@@ -733,104 +902,23 @@ bool execute_func(Interp& st, u32 entry_idx, const std::vector<u32>& args) {
         }
         if (!blk) blk = c.dflt.get();
         if (!blk) { st.error = "No match"; return false; }
-        push_block(*blk);
+        replace_block(*blk);
       } else {  // CHOOSE_MANY
         const Block* blk = nullptr;
         for (size_t i = 0; i < c.branch_keys.size(); i++) {
           bool eq = true;
           for (size_t j = 0; j < c.vals.size(); j++)
-            if (map[c.vals[j]] != c.branch_keys[i][j]) { eq = false; break; }
+            if (V[c.vals[j]] != c.branch_keys[i][j]) { eq = false; break; }
           if (eq) { blk = c.branches[i].get(); break; }
         }
         if (!blk) blk = c.dflt.get();
         if (!blk) { st.error = "No match"; return false; }
-        push_block(*blk);
+        replace_block(*blk);
       }
     }
   }
   st.error = "exec stack drained without return";
   return false;
-}
-
-// ---------------------------------------------------------------------------
-// record serialization (see native_codec.py docstring for layout)
-// ---------------------------------------------------------------------------
-
-void serialize_record(const Interp& st, std::vector<u32>& out) {
-  const Toplevel& tl = *st.tl;
-  out.push_back((u32)tl.funcs.size());
-  for (size_t f = 0; f < tl.funcs.size(); f++) {
-    const IndexMap& fq = st.func_queries[f];
-    u32 n = (u32)fq.keys.size();
-    out.push_back(n);
-    for (u32 i = 0; i < n; i++)
-      out.insert(out.end(), fq.keys[i].begin(), fq.keys[i].end());
-    for (u32 i = 0; i < n; i++)
-      out.insert(out.end(), fq.values[i].output.begin(), fq.values[i].output.end());
-    for (u32 i = 0; i < n; i++) {
-      out.push_back(fq.values[i].provide.nonce);
-      out.push_back(fq.values[i].provide.count);
-    }
-    auto emit_var = [&](auto getter) {
-      u32 off = 0;
-      out.push_back(off);
-      for (u32 i = 0; i < n; i++) {
-        off += (u32)getter(fq.values[i]).size();
-        out.push_back(off);
-      }
-      for (u32 i = 0; i < n; i++) {
-        const std::vector<u32>& v = getter(fq.values[i]);
-        out.insert(out.end(), v.begin(), v.end());
-      }
-    };
-    emit_var([](const QueryResult& q) -> const std::vector<u32>& { return q.requires_; });
-    for (u32 i = 0; i < n; i++) out.push_back(fq.values[i].depth);
-    emit_var([](const QueryResult& q) -> const std::vector<u32>& { return q.depth_requires; });
-    for (u32 i = 0; i < n; i++) out.push_back(fq.values[i].path);
-    emit_var([](const QueryResult& q) -> const std::vector<u32>& { return q.hints; });
-  }
-  for (int m = 0; m < 6; m++) {
-    const IndexMap& mm = st.mem_queries[m];
-    u32 n = (u32)mm.keys.size();
-    out.push_back(n);
-    for (u32 i = 0; i < n; i++)
-      out.insert(out.end(), mm.keys[i].begin(), mm.keys[i].end());
-    for (u32 i = 0; i < n; i++) {
-      out.push_back(mm.values[i].provide.nonce);
-      out.push_back(mm.values[i].provide.count);
-    }
-  }
-  // bytes: sorted by input
-  {
-    std::vector<u32> inputs;
-    inputs.reserve(st.bytes.records.size());
-    for (auto& kv : st.bytes.records) inputs.push_back(kv.first);
-    std::sort(inputs.begin(), inputs.end());
-    out.push_back((u32)inputs.size());
-    for (u32 in : inputs) {
-      out.push_back(in);
-      const auto& recs = st.bytes.records.at(in);
-      for (int s = 0; s < 6; s++) {
-        out.push_back(recs[s].nonce);
-        out.push_back(recs[s].count);
-      }
-    }
-  }
-  // emitted
-  {
-    out.push_back((u32)st.emitted.size());
-    u32 off = 0;
-    out.push_back(off);
-    for (auto& v : st.emitted) { off += (u32)v.size(); out.push_back(off); }
-    for (auto& v : st.emitted) out.insert(out.end(), v.begin(), v.end());
-  }
-  out.push_back((u32)st.public_values.size());
-  out.insert(out.end(), st.public_values.begin(), st.public_values.end());
-}
-
-std::unordered_map<void*, std::vector<u32>*>* g_rec_cache() {
-  static auto* m = new std::unordered_map<void*, std::vector<u32>*>();
-  return m;
 }
 
 }  // namespace
@@ -851,6 +939,122 @@ void parallel_for(u64 n, u64 min_serial, F fn) {
     pool.emplace_back([=]() { fn(lo, hi); });
   }
   for (auto& th : pool) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// record serialization (see native_codec.py docstring for layout)
+//
+// The size is computed arithmetically (the SoA layout makes every section
+// length known up front) and the record is written directly into the
+// caller's buffer in one pass - the old path built a 100M+ element
+// std::vector by push_back and then memcpy'd it, which cost more than the
+// execution itself on large records.
+// ---------------------------------------------------------------------------
+
+static u64 record_total_size(const Interp& st) {
+  const Toplevel& tl = *st.tl;
+  u64 sz = 1;
+  for (size_t f = 0; f < tl.funcs.size(); f++) {
+    const FuncQueries& q = st.func_queries[f];
+    u64 n = q.map.count;
+    // n; keys n*in; outs n*out; provide 2n; depth n; path n;
+    // three var streams: (n+1) offsets + arena each
+    sz += 1 + n * ((u64)q.map.stride + q.out_stride + 4)
+        + 3 * (n + 1) + q.req_arena.size() + q.dreq_arena.size()
+        + q.hint_arena.size();
+  }
+  for (int m = 0; m < 6; m++)
+    sz += 1 + (u64)st.mem_maps[m].count * (st.mem_maps[m].stride + 2);
+  u64 touched = 0;
+  for (const auto& a : st.bytes.recs)
+    for (int s = 0; s < 6; s++)
+      if (a[s].count) { touched++; break; }
+  sz += 1 + touched * 13;
+  u64 em = 0;
+  for (const auto& v : st.emitted) em += v.size();
+  sz += 1 + (st.emitted.size() + 1) + em;
+  sz += 1 + st.public_values.size();
+  return sz;
+}
+
+static void record_write(const Interp& st, u32* w) {
+  const Toplevel& tl = *st.tl;
+  auto put = [&](u32 v) { *w++ = v; };
+  auto put_block = [&](const u32* src, u64 n) {
+    std::memcpy(w, src, n * sizeof(u32));
+    w += n;
+  };
+  put((u32)tl.funcs.size());
+  for (size_t f = 0; f < tl.funcs.size(); f++) {
+    const FuncQueries& q = st.func_queries[f];
+    u64 n = q.map.count;
+    put((u32)n);
+    put_block(q.map.keys.data(), n * q.map.stride);
+    put_block(q.out.data(), n * q.out_stride);
+    // Record is two u32s; the vector is exactly the (nonce,count) stream
+    put_block((const u32*)q.provide.data(), n * 2);
+    // variable-length stream: [0, cum lens...] then data gathered from the
+    // return-order arena into index order (parallel - the hints stream is
+    // the bulk of the record)
+    auto emit_var = [&](const std::vector<u32>& offs,
+                        const std::vector<u32>& lens,
+                        const std::vector<u32>& arena) {
+      u32* offs_out = w;
+      u32 acc = 0;
+      put(0);
+      for (u64 i = 0; i < n; i++) {
+        acc += lens[i];
+        put(acc);
+      }
+      u32* data_out = w;
+      const u32* src = arena.data();
+      parallel_for(n, 1 << 14, [&](u64 lo, u64 hi) {
+        for (u64 i = lo; i < hi; i++)
+          std::memcpy(data_out + offs_out[i], src + offs[i],
+                      (u64)lens[i] * sizeof(u32));
+      });
+      w += arena.size();
+    };
+    emit_var(q.req_off, q.req_len, q.req_arena);
+    put_block(q.depth.data(), n);
+    emit_var(q.dreq_off, q.dreq_len, q.dreq_arena);
+    put_block(q.path.data(), n);
+    emit_var(q.hint_off, q.hint_len, q.hint_arena);
+  }
+  for (int m = 0; m < 6; m++) {
+    const FlatMap& mm = st.mem_maps[m];
+    put(mm.count);
+    put_block(mm.keys.data(), (u64)mm.count * mm.stride);
+    put_block((const u32*)st.mem_provide[m].data(), (u64)mm.count * 2);
+  }
+  // bytes: ascending input order (direct-indexed table is already sorted)
+  {
+    u32* count_slot = w++;
+    u32 touched = 0;
+    for (u32 in = 0; in < (u32)st.bytes.recs.size(); in++) {
+      const auto& recs = st.bytes.recs[in];
+      bool any = false;
+      for (int s = 0; s < 6; s++) any = any || recs[s].count;
+      if (!any) continue;
+      touched++;
+      put(in);
+      put_block((const u32*)recs.data(), 12);
+    }
+    *count_slot = touched;
+  }
+  // emitted
+  {
+    put((u32)st.emitted.size());
+    u32 off = 0;
+    put(off);
+    for (const auto& v : st.emitted) {
+      off += (u32)v.size();
+      put(off);
+    }
+    for (const auto& v : st.emitted) put_block(v.data(), v.size());
+  }
+  put((u32)st.public_values.size());
+  put_block(st.public_values.data(), st.public_values.size());
 }
 
 extern "C" {
@@ -908,12 +1112,12 @@ void* lair_execute(void* tl_ptr, u32 func_idx, const u32* args, u64 n_args,
     u32 n_blocks = r.next();
     for (u32 b = 0; b < n_blocks; b++) {
       u32 fi = r.next(), n = r.next(), osz = r.next(), isz = r.next();
-      auto& inv = st->inv_func_queries[fi];
       for (u32 i = 0; i < n; i++) {
-        std::vector<u32> o(osz), in(isz);
-        for (auto& x : o) x = r.next();
-        for (auto& x : in) x = r.next();
-        inv.emplace(std::move(o), std::move(in));
+        const u32* o = r.p;
+        r.p += osz;
+        const u32* in = r.p;
+        r.p += isz;
+        st->inv_inject(fi, o, in, isz);
       }
     }
   }
@@ -924,20 +1128,11 @@ void* lair_execute(void* tl_ptr, u32 func_idx, const u32* args, u64 n_args,
 }
 
 u64 lair_record_size(void* st_ptr) {
-  auto* st = (Interp*)st_ptr;
-  auto* cached = new std::vector<u32>();
-  serialize_record(*st, *cached);
-  (*g_rec_cache())[st_ptr] = cached;
-  return cached->size();
+  return record_total_size(*(Interp*)st_ptr);
 }
 
 void lair_record_copy(void* st_ptr, u32* out) {
-  auto& m = *g_rec_cache();
-  auto it = m.find(st_ptr);
-  if (it == m.end()) return;
-  std::memcpy(out, it->second->data(), it->second->size() * sizeof(u32));
-  delete it->second;
-  m.erase(it);
+  record_write(*(Interp*)st_ptr, out);
 }
 
 const char* lair_error(void* st_ptr) { return ((Interp*)st_ptr)->error.c_str(); }

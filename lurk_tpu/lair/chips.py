@@ -34,15 +34,22 @@ class MemChip:
 
     def generate_trace(self, shard: Shard) -> np.ndarray:
         mem = shard.queries.mem_queries[mem_index_from_len(self.len)]
-        height = max(next_power_of_two(len(mem)), 4)
+        n = len(mem)
+        height = max(next_power_of_two(n), 4)
         rows = np.zeros((height, self.width), U)
-        for i in range(len(mem)):
-            args, result = mem.get_index(i)
-            rows[i, 0] = 1
-            rows[i, 1] = i + 1
-            rows[i, 2] = result.provide.nonce
-            rows[i, 3] = result.provide.count
-            rows[i, 4:] = args
+        if n:
+            rows[:n, 0] = 1
+            rows[:n, 1] = np.arange(1, n + 1, dtype=U)
+            from .columnar import ColumnarMemMap
+            if isinstance(mem, ColumnarMemMap):
+                rows[:n, 2:4] = mem.provide
+                rows[:n, 4:] = mem.vals
+            else:
+                for i in range(n):
+                    args, result = mem.get_index(i)
+                    rows[i, 2] = result.provide.nonce
+                    rows[i, 3] = result.provide.count
+                    rows[i, 4:] = args
         return rows
 
     def generate_preprocessed_trace(self):
@@ -73,10 +80,14 @@ class BytesChip:
         if record.is_empty():
             return rows
         rows[:, 0] = 1
-        for input_u16, recs in record.records.items():
-            for k, rec in enumerate(recs):
-                rows[input_u16, 1 + 2 * k] = rec.nonce
-                rows[input_u16, 2 + 2 * k] = rec.count
+        from .columnar import ColumnarBytesRecord
+        if isinstance(record, ColumnarBytesRecord):
+            rows[record.inputs, 1:13] = record.recs
+        else:
+            for input_u16, recs in record.records.items():
+                for k, rec in enumerate(recs):
+                    rows[input_u16, 1 + 2 * k] = rec.nonce
+                    rows[input_u16, 2 + 2 * k] = rec.count
         return rows
 
     @staticmethod

@@ -70,3 +70,61 @@ class ColumnarQueryMap:
             k, v = self.get_index(i)
             im.insert_full(k, v)
         return im
+
+
+@dataclass
+class ColumnarMemMap:
+    """Numpy-backed memory table (read-only once decoded; the interpreter
+    always starts from clean() IndexMaps). Same positional interface as
+    IndexMap for the consumers that walk it (MemChip trace generation has
+    a vectorized fast path over .vals/.provide)."""
+    width: int
+    vals: np.ndarray      # (n, width) uint32
+    provide: np.ndarray   # (n, 2) nonce,count
+
+    def __len__(self):
+        return self.vals.shape[0]
+
+    def get_index(self, i):
+        from .execute import QueryResult, Record
+        qr = QueryResult()
+        qr.provide = Record(int(self.provide[i, 0]), int(self.provide[i, 1]))
+        return tuple(int(x) for x in self.vals[i]), qr
+
+    @property
+    def keys(self):
+        return [tuple(int(x) for x in row) for row in self.vals]
+
+    @property
+    def values(self):
+        return [self.get_index(i)[1] for i in range(len(self))]
+
+    def get_index_of(self, key):
+        n = len(self)
+        if n == 0:
+            return None
+        m = np.all(self.vals == np.asarray(key, self.vals.dtype), axis=1)
+        hits = np.nonzero(m)[0]
+        return int(hits[0]) if hits.size else None
+
+
+@dataclass
+class ColumnarBytesRecord:
+    """Numpy-backed byte-table record (decode fast path; same read surface
+    as BytesRecord for the bytes chip)."""
+    inputs: np.ndarray    # (n,) touched u16 inputs, ascending
+    recs: np.ndarray      # (n, 12) 6x(nonce,count)
+
+    def is_empty(self):
+        return self.inputs.size == 0
+
+    @property
+    def records(self):
+        """Dict-compat view (slow; the bytes chip uses the arrays)."""
+        from .execute import Record
+        out = {}
+        for i, inp in enumerate(self.inputs):
+            out[int(inp)] = [Record(int(self.recs[i, 2 * k]),
+                                    int(self.recs[i, 2 * k + 1]))
+                             for k in range(6)]
+        return out

@@ -216,7 +216,7 @@ class QueryRecord:
         src/lair/execute.rs:357-367)."""
         self.func_queries = [IndexMap() for _ in self.func_queries]
         self.mem_queries = [IndexMap() for _ in self.mem_queries]
-        self.bytes.clear()
+        self.bytes = BytesRecord()   # decoded records may be columnar
         self.emitted = []
         self.debug_data = DebugData()
 

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..poseidon.constants import get_config
 from . import native_codec
-from .columnar import ColumnarQueryMap
+from .columnar import ColumnarBytesRecord, ColumnarMemMap, ColumnarQueryMap
 from .execute import (QueryRecord, QueryResult, Record,
                       NUM_MEM_TABLES, MEM_TABLE_SIZES)
 
@@ -183,21 +183,13 @@ def _decode_record(toplevel, buf: np.ndarray, queries: QueryRecord):
                     tuple(int(x) for x in args[i])
     for m in range(NUM_MEM_TABLES):
         width = MEM_TABLE_SIZES[m]
-        mm = queries.mem_queries[m]
         n = c.next()
-        vals = c.take(n * width).reshape(n, width)
-        provide = c.take(n * 2).reshape(n, 2)
-        for i in range(n):
-            qr = QueryResult()
-            qr.provide = Record(int(provide[i, 0]), int(provide[i, 1]))
-            mm.insert_full(tuple(int(x) for x in vals[i]), qr)
+        vals = c.take(n * width).reshape(n, width).copy()
+        provide = c.take(n * 2).reshape(n, 2).copy()
+        queries.mem_queries[m] = ColumnarMemMap(width, vals, provide)
     n_bytes = c.next()
-    for _ in range(n_bytes):
-        inp = c.next()
-        recs = queries.bytes.get_mut(inp)
-        for s in range(6):
-            recs[s].nonce = c.next()
-            recs[s].count = c.next()
+    brecs = c.take(n_bytes * 13).reshape(n_bytes, 13).copy()
+    queries.bytes = ColumnarBytesRecord(brecs[:, 0], brecs[:, 1:])
     n_emitted = c.next()
     offs = c.take(n_emitted + 1)
     flat = c.take(int(offs[-1])) if n_emitted else c.take(0)
