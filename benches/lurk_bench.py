@@ -128,7 +128,10 @@ def main():
                        pow_bits=args.pow_bits)
     machine = new_machine(toplevel, config)
     t0 = time.perf_counter()
-    pk, vk = machine.setup()
+    # disk-cached like the REPL's !(prove): the reference re-runs setup per
+    # process (repl.rs:164-207); LURK_TPU_KEY_CACHE=0 forces a fresh setup
+    from lurk_tpu.stark.key_cache import setup_cached
+    pk, vk = setup_cached(machine)
     emit("setup", time.perf_counter() - t0)
 
     if args.jax_profile:

@@ -1,0 +1,252 @@
+"""Affine interaction plans: data-driven LogUp fingerprint kernels.
+
+LogUp interaction values and multiplicities are degree <= 1 in the trace
+columns by construction (the provide/require protocol emits columns,
+constants and selector sums - air/symbolic.py:293-325; sphinx enforces the
+same bound on `AirInteraction`s). Decomposing every interaction into sparse
+affine terms over an extended column space turns the per-chip permutation
+trace into ONE generic device kernel driven by index/weight arrays.
+
+Why: the device prover jit-compiled each chip's interaction DAG per
+(chip, height); for a full Lurk machine that is ~47 chips x #heights x
+#shards XLA traces/compiles, which dominated multi-shard prove wall time
+(VERDICT round-2 item #1). With plans, the compile count is the number of
+distinct (height, width-bucket, interaction-bucket) shapes - a handful.
+
+Column space: X = [main | preprocessed | first | last | transition | 0pad]
+(interactions only reference rot=0 columns - logup/trace.py contract).
+All weights are assembled on the host per (r, gamma, public_values) - they
+are runtime inputs, so one compiled kernel serves every chip and claim.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..air.symbolic import (Add, Col, Const, Mul, Pub, Sel, Sub,
+                            SymbolicBuilder)
+from ..field import babybear as bb
+from ..field.ext import eadd_s, emul_s
+from .trace import gamma_powers, interaction_batches
+
+P = bb.P
+
+
+class NotAffine(Exception):
+    pass
+
+
+@dataclass
+class AffineExpr:
+    """const + sum(pubs[i] * pv[i]) + sum(cols[key] * X[key])."""
+    const: int
+    pubs: Dict[int, int]
+    cols: Dict[Tuple[str, int], int]   # ("m"|"p"|"s", idx) -> coeff
+
+    def const_at(self, pv) -> int:
+        c = self.const
+        for i, k in self.pubs.items():
+            c = (c + k * (int(pv[i]) % P)) % P
+        return c
+
+
+def _decompose(e, memo) -> AffineExpr:
+    key = id(e)
+    r = memo.get(key)
+    if r is not None:
+        return r
+    if isinstance(e, Const):
+        r = AffineExpr(e.val % P, {}, {})
+    elif isinstance(e, Pub):
+        r = AffineExpr(0, {e.idx: 1}, {})
+    elif isinstance(e, Col):
+        if e.rot != 0:
+            raise NotAffine("rotated column in interaction")
+        kind = "m" if e.matrix == "main" else "p"
+        r = AffineExpr(0, {}, {(kind, e.idx): 1})
+    elif isinstance(e, Sel):
+        idx = {"first": 0, "last": 1, "transition": 2}[e.kind]
+        r = AffineExpr(0, {}, {("s", idx): 1})
+    elif isinstance(e, (Add, Sub)):
+        a = _decompose(e.a, memo)
+        b = _decompose(e.b, memo)
+        sgn = 1 if isinstance(e, Add) else P - 1
+        pubs = dict(a.pubs)
+        for i, k in b.pubs.items():
+            pubs[i] = (pubs.get(i, 0) + sgn * k) % P
+        cols = dict(a.cols)
+        for c, k in b.cols.items():
+            cols[c] = (cols.get(c, 0) + sgn * k) % P
+        r = AffineExpr((a.const + sgn * b.const) % P, pubs, cols)
+    elif isinstance(e, Mul):
+        a = _decompose(e.a, memo)
+        b = _decompose(e.b, memo)
+        # exactly one side may carry columns; pub-only sides are runtime
+        # scalars and would make the col coefficients pv-dependent, which
+        # the host assembly below supports only for the constant term -
+        # keep it simple and require a pure-constant side
+        if a.cols or a.pubs:
+            a, b = b, a
+        if a.cols or a.pubs:
+            raise NotAffine("product of two non-constant terms")
+        s = a.const
+        r = AffineExpr((b.const * s) % P,
+                       {i: (k * s) % P for i, k in b.pubs.items()},
+                       {c: (k * s) % P for c, k in b.cols.items()})
+    else:
+        raise TypeError(e)
+    memo[key] = r
+    return r
+
+
+def _pow4(n: int, lo: int = 1) -> int:
+    """Round up to lo * 4^k: coarse buckets keep the compiled-kernel count
+    small (pow2 buckets gave 32 distinct shapes for the 47 Lurk chips; 4^k
+    gives ~10, and the padding only inflates cheap elementwise work)."""
+    v = lo
+    while v < n:
+        v *= 4
+    return v
+
+
+@dataclass
+class InteractionPlan:
+    """Static (per-chip) description of all interactions in affine form.
+
+    Term lists are flattened per interaction: every (value j, column,
+    coeff) triple becomes one fingerprint term whose assembled weight is
+    gamma^(j+1) * coeff; the per-value constants fold into dconst."""
+    main_width: int
+    prep_width: int
+    n_inter: int                      # real interaction count
+    n_batches: int                    # ceil(n_inter / 2)
+    # per interaction: [(j, col_index, coeff)] with col_index into X
+    value_terms: List[List[Tuple[int, int, int]]]
+    # per interaction: [(j, AffineExpr)] for the constant/pub parts
+    value_consts: List[List[Tuple[int, "AffineExpr"]]]
+    mult_terms: List[List[Tuple[int, int]]]   # [(col_index, coeff)]
+    mult_affine: List[AffineExpr]
+    signs: List[int]                  # 1 (send) or P-1 (receive)
+    max_vals: int
+    # bucketed static shapes (compile key)
+    width_padded: int = 0
+    n_inter_padded: int = 0
+    max_terms: int = 0
+    max_mult_terms: int = 0
+
+    def __post_init__(self):
+        self.n_inter_padded = 2 * _pow4(max(self.n_batches, 1), lo=2)
+        self.max_terms = _pow4(max((len(t) for t in self.value_terms),
+                                   default=1))
+        self.max_mult_terms = _pow4(max((len(t) for t in self.mult_terms),
+                                        default=1))
+        # X = [main | prep | 3 sels | >=1 zero col], width bucketed
+        self.width_padded = _pow4(self.main_width + self.prep_width + 4,
+                                  lo=8)
+
+    @property
+    def x_width(self) -> int:
+        return self.main_width + self.prep_width + 3
+
+    def bucket_key(self) -> tuple:
+        return (self.width_padded, self.n_inter_padded, self.max_terms,
+                self.max_mult_terms)
+
+
+def build_plan(builder: SymbolicBuilder) -> Optional[InteractionPlan]:
+    """None if any interaction is not affine (generic kernel falls back
+    to the per-chip DAG path)."""
+    wm = builder.main_width
+    wp = builder.preprocessed_width
+
+    def col_index(key: Tuple[str, int]) -> int:
+        kind, idx = key
+        if kind == "m":
+            return idx
+        if kind == "p":
+            return wm + idx
+        return wm + wp + idx          # sels
+
+    memo: dict = {}
+    value_terms: List[List[Tuple[int, int, int]]] = []
+    value_consts: List[List[Tuple[int, AffineExpr]]] = []
+    mult_terms: List[List[Tuple[int, int]]] = []
+    mult_affine: List[AffineExpr] = []
+    signs: List[int] = []
+    try:
+        for inter in builder.interactions:
+            terms: List[Tuple[int, int, int]] = []
+            consts: List[Tuple[int, AffineExpr]] = []
+            for j, v in enumerate(inter.values):
+                a = _decompose(v, memo)
+                for ck, coeff in a.cols.items():
+                    if coeff:
+                        terms.append((j, col_index(ck), coeff))
+                consts.append((j, a))
+            m = _decompose(inter.mult, memo)
+            value_terms.append(terms)
+            value_consts.append(consts)
+            mult_terms.append([(col_index(ck), coeff)
+                               for ck, coeff in m.cols.items() if coeff])
+            mult_affine.append(m)
+            signs.append(1 if inter.kind == "send" else P - 1)
+    except NotAffine:
+        return None
+    n = len(builder.interactions)
+    return InteractionPlan(wm, wp, n, (n + 1) // 2, value_terms,
+                           value_consts, mult_terms, mult_affine, signs,
+                           max_vals=max((len(i.values)
+                                         for i in builder.interactions),
+                                        default=0))
+
+
+def assemble(plan: InteractionPlan, public_values, r, gamma):
+    """Host-side weight assembly for one (r, gamma, pv) claim.
+
+    Returns numpy arrays (all Montgomery form where multiplied on device):
+      ti (maxT, nIp) int32 column indices into X
+      tw (maxT, nIp, 4) ext term weights = gamma^(j+1) * coeff
+      dconst (nIp, 4) ext = r + sum_j gamma^(j+1) * const_j(pv)
+      mi (maxM, nIp) int32 ; mw (maxM, nIp) base mult coeffs (signed)
+      mconst (nIp,) base mult constants (signed)
+    Padded interactions get zero mult => zero contribution."""
+    nIp = plan.n_inter_padded
+    maxT, maxM = plan.max_terms, plan.max_mult_terms
+    gpows = gamma_powers(gamma, plan.max_vals)
+
+    ti = np.zeros((maxT, nIp), np.int32)
+    tw = np.zeros((maxT, nIp, 4), np.uint64)
+    dconst = np.zeros((nIp, 4), np.uint64)
+    mi = np.zeros((maxM, nIp), np.int32)
+    mw = np.zeros((maxM, nIp), np.uint64)
+    mconst = np.zeros(nIp, np.uint64)
+
+    for k in range(plan.n_inter):
+        d = tuple(int(x) % P for x in r)
+        for j, a in plan.value_consts[k]:
+            c = a.const_at(public_values)
+            if c:
+                g = gpows[j + 1]
+                d = eadd_s(d, tuple((int(x) * c) % P for x in g))
+        dconst[k] = d
+        for t, (j, ci, coeff) in enumerate(plan.value_terms[k]):
+            ti[t, k] = ci
+            g = gpows[j + 1]
+            tw[t, k] = tuple((int(x) * coeff) % P for x in g)
+        sgn = plan.signs[k]
+        mconst[k] = (plan.mult_affine[k].const_at(public_values) * sgn) % P
+        for t, (ci, coeff) in enumerate(plan.mult_terms[k]):
+            mi[t, k] = ci
+            mw[t, k] = (coeff * sgn) % P
+    # padded interactions: dconst stays 0 -> einv(0) = 0, mult 0 -> no-op
+    return {
+        "ti": ti,
+        "tw": bb.np_to_mont(tw.astype(np.uint32)),
+        "dconst": bb.np_to_mont(dconst.astype(np.uint32)),
+        "mi": mi,
+        "mw": bb.np_to_mont(mw.astype(np.uint32)),
+        "mconst": bb.np_to_mont(mconst.astype(np.uint32)),
+    }

@@ -456,12 +456,17 @@ class DeviceEvalCtx:
     """
 
     def __init__(self, main, preprocessed, public_values, sels,
-                 stride: int = 1):
+                 stride: int = 1, window: bool = False):
         self.main = main
         self.preprocessed = preprocessed
         self.pv = public_values
         self.sels = sels
-        self.height = int(main.shape[0])
+        # window mode: inputs carry `stride` extra rows; rot=1 columns are
+        # SLICES of the padded window instead of jnp.roll of the full
+        # domain. Makes kernels height-independent (row blocks + their
+        # next-row overlap), so one compile serves every trace height.
+        self.window = window
+        self.height = int(main.shape[0]) - (stride if window else 0)
         self.stride = stride
         self._cache: Dict[int, jnp.ndarray] = {}
         self._main_mont = None
@@ -478,6 +483,9 @@ class DeviceEvalCtx:
                 self._prep_mont = bb.to_mont(self.preprocessed)
             m = self._prep_mont
         col = m[:, e.idx]
+        if self.window:
+            return col[:self.height] if e.rot == 0 else \
+                col[self.stride:self.stride + self.height]
         return col if e.rot == 0 else jnp.roll(col, -self.stride, axis=0)
 
     def eval_mont(self, e) -> jnp.ndarray:
@@ -655,6 +663,112 @@ def device_perm_trace(builder, main_dev, prep_dev, pv_dev, r, gamma):
 
 
 # ---------------------------------------------------------------------------
+# generic (plan-driven) LogUp permutation kernel
+#
+# One compiled kernel per SHAPE BUCKET serves every chip: the interaction
+# structure arrives as runtime index/weight arrays (logup/affine.py), so
+# the per-(chip, height) XLA trace+compile of the interaction DAG - the
+# dominant cost of multi-shard device proving (VERDICT round-2 item #1) -
+# is replaced by a handful of bucket compiles per process. Bit-exact vs
+# build_permutation_trace (exact mod-p affine evaluation; unique inverses).
+# ---------------------------------------------------------------------------
+
+_GPERM_FNS: Dict[tuple, object] = {}
+_PLAN_CACHE: Dict[str, object] = {}
+_XPAD_CACHE: Dict[tuple, object] = {}
+
+
+def plan_for(builder):
+    """Cached affine InteractionPlan (None => chip needs the DAG path)."""
+    fp = builder_fingerprint(builder)
+    if fp not in _PLAN_CACHE:
+        from ..logup.affine import build_plan
+        _PLAN_CACHE[fp] = build_plan(builder)
+    return _PLAN_CACHE[fp]
+
+
+def _generic_perm_fn(h: int, Wp: int, nIp: int, maxT: int, maxM: int):
+    key = (h, Wp, nIp, maxT, maxM)
+    fn = _GPERM_FNS.get(key)
+    if fn is not None:
+        return fn
+    # bound the (rows, nIp, 4) fingerprint transients like _PERM_CHUNK
+    chunk = h
+    while chunk * nIp > (1 << 24) and chunk > (1 << 12):
+        chunk //= 2
+
+    def block(Xm_b, ti, tw, dconst, mi, mw, mconst, hb: int):
+        D = jnp.broadcast_to(dconst, (hb, nIp, 4))
+        for t in range(maxT):
+            col = Xm_b[:, ti[t]]                       # (hb, nIp) mont
+            D = bb.fadd(D, bb.mont_mul(
+                jnp.broadcast_to(tw[t], (hb, nIp, 4)), col[:, :, None]))
+        d_inv = ext_jnp.einv(bb.from_mont(D))          # (hb, nIp, 4)
+        M = jnp.broadcast_to(mconst, (hb, nIp))
+        for t in range(maxM):
+            M = bb.fadd(M, bb.mont_mul(mw[t][None, :], Xm_b[:, mi[t]]))
+        # canonical inverse * mont multiplicity -> canonical contribution
+        contrib = bb.mont_mul(d_inv, M[:, :, None])
+        # batches are consecutive interaction PAIRS (logup/trace.py)
+        phi = bb.fadd(contrib[:, 0::2], contrib[:, 1::2])   # (hb, B, 4)
+        return phi.reshape(hb, -1)
+
+    def raw(X, ti, tw, dconst, mi, mw, mconst):
+        Xm = bb.to_mont(X)
+        if h <= chunk:
+            phis = block(Xm, ti, tw, dconst, mi, mw, mconst, h)
+        else:
+            nb = h // chunk
+            body = lambda xb: block(xb, ti, tw, dconst, mi, mw, mconst,
+                                    chunk)
+            phis = jax.lax.map(body, Xm.reshape(nb, chunk, Wp))
+            phis = phis.reshape(h, phis.shape[2])
+        total = mod_tree_sum(phis.reshape(h, nIp // 2, 4), axis=1)
+        s = mod_cumsum(total, axis=0)
+        return phis, s
+
+    fn = jax.jit(raw)
+    _GPERM_FNS[key] = fn
+    return fn
+
+
+def _x_extras(h: int, pad: int):
+    """Device [first|last|transition|zeros*pad] columns, cached per shape."""
+    key = (h, pad)
+    x = _XPAD_CACHE.get(key)
+    if x is None:
+        cols = np.zeros((h, 3 + pad), np.uint32)
+        cols[0, 0] = 1
+        cols[h - 1, 1] = 1
+        cols[:h - 1, 2] = 1
+        x = jnp.asarray(cols)
+        _XPAD_CACHE[key] = x
+    return x
+
+
+def device_perm_trace_plan(plan, main_dev, prep_dev, pv, r, gamma):
+    """Plan-driven equivalent of device_perm_trace_dev: returns
+    (perm trace (h, 4(B+1)), cumulative sum (4,)), device-resident."""
+    from ..logup.affine import assemble
+    h = int(main_dev.shape[0])
+    arrs = assemble(plan, pv, r, gamma)
+    parts = [main_dev]
+    if prep_dev is not None:
+        parts.append(prep_dev)
+    parts.append(_x_extras(h, plan.width_padded - plan.x_width))
+    X = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    fn = _generic_perm_fn(h, plan.width_padded, plan.n_inter_padded,
+                          plan.max_terms, plan.max_mult_terms)
+    phis, s = fn(X, jnp.asarray(arrs["ti"]), jnp.asarray(arrs["tw"]),
+                 jnp.asarray(arrs["dconst"]), jnp.asarray(arrs["mi"]),
+                 jnp.asarray(arrs["mw"]), jnp.asarray(arrs["mconst"]))
+    nb_real = plan.n_batches
+    if 4 * nb_real < int(phis.shape[1]):
+        phis = phis[:, :4 * nb_real]
+    return jnp.concatenate([phis, s], axis=1), s[-1]
+
+
+# ---------------------------------------------------------------------------
 # quotient evaluation on device (mirrors machine._prove_shard's chip loop)
 # ---------------------------------------------------------------------------
 
@@ -682,20 +796,30 @@ def _ext_mul_arrays(a, b):
 
 
 def _d_perm_quotient(builder, ctx: DeviceEvalCtx, perm_lde, r_mont,
-                     gpows_mont, cum_dev, stride: int):
+                     gpows_mont, cum_dev, stride: int,
+                     window: bool = False):
     """Ext constraint arrays over the coset (mirrors eval_perm_quotient_np).
-    Returns a list of (big, 4) canonical arrays in the same order."""
+    Returns a list of (big, 4) canonical arrays in the same order. With
+    window=True, perm_lde carries `stride` extra overlap rows and rot=1 is
+    a slice (see DeviceEvalCtx.window)."""
     from ..logup.trace import interaction_batches
-    h = int(perm_lde.shape[0])
+    h = ctx.height
     batches = interaction_batches(builder)
     nb = len(batches)
 
     def phi(b, rot=0):
         block = perm_lde[:, 4 * b:4 * b + 4]
+        if window:
+            return block[:h] if rot == 0 else block[stride:stride + h]
         return block if rot == 0 else jnp.roll(block, -stride, axis=0)
 
-    s_col = perm_lde[:, 4 * nb:4 * nb + 4]
-    s_next = jnp.roll(s_col, -stride, axis=0)
+    s_full = perm_lde[:, 4 * nb:4 * nb + 4]
+    if window:
+        s_col = s_full[:h]
+        s_next = s_full[stride:stride + h]
+    else:
+        s_col = s_full
+        s_next = jnp.roll(s_full, -stride, axis=0)
 
     out = []
     for b, batch in enumerate(batches):
@@ -786,8 +910,150 @@ def _quotient_fn(builder, log_h: int, has_prep: bool):
     return fn
 
 
+# ---------------------------------------------------------------------------
+# windowed quotient: height-independent per-chip kernels
+#
+# The per-(chip, height) _quotient_fn compiles the chip's full constraint
+# DAG once per distinct LDE height - for multi-shard Lurk proves that meant
+# ~47 chips x #heights x XLA remote compiles, the single largest cost of
+# the round-2 fib(100000) prove. Here the constraint/perm VALUES are
+# computed over fixed-size row windows (chunk + stride overlap rows, so
+# rot=1 references stay exact including the wraparound row), compiled ONCE
+# per chip per process; the height-dependent tail (divide by Z_H, iNTT,
+# shift, q0/q1 NTTs) is a single chip-independent kernel per height.
+# ---------------------------------------------------------------------------
+
+_QUOT_WIN = 1 << 15                      # window rows (pow2)
+_QVALS_FNS: Dict[tuple, object] = {}
+
+
+def _quotient_vals_fn(builder, has_prep: bool):
+    key = (builder_fingerprint(builder), has_prep)
+    fn = _QVALS_FNS.get(key)
+    if fn is not None:
+        return fn
+    stride = 1 << LOG_BLOWUP
+    n_base = len(builder.constraints)
+
+    def raw(main_w, prep_w, perm_w, pv, r_mont, gpows_mont, cum_dev,
+            apows_mont, sels_w):
+        ctx = DeviceEvalCtx(main_w, prep_w, pv, sels_w, stride=stride,
+                            window=True)
+        rows = ctx.height
+        folded = jnp.zeros((rows, 4), U32)
+        for i, c in enumerate(builder.constraints):
+            cval = ctx.eval(c)
+            w = apows_mont[i]
+            folded = bb.fadd(folded, bb.mont_mul(
+                jnp.broadcast_to(w, (rows, 4)), cval[:, None]))
+        pvals = _d_perm_quotient(builder, ctx, perm_w, r_mont, gpows_mont,
+                                 cum_dev, stride, window=True)
+        for k, cval in enumerate(pvals):
+            folded = bb.fadd(folded, ext_mul_scalar(cval, apows_mont[n_base + k]))
+        return folded
+
+    fn = jax.jit(raw)
+    _QVALS_FNS[key] = fn
+    return fn
+
+
+@partial(jax.jit, static_argnames=("log_big",))
+def _quotient_epilogue(folded, inv_zh, inv_shift, intt_tables, ntt_tables,
+                       log_big: int):
+    """Chip-independent per-height tail: Z_H division, coset interpolation,
+    q0/q1 split + forward NTTs. Identical math to the old monolithic
+    kernel's tail, so proof bits are unchanged."""
+    big = 1 << log_big
+    log_h = log_big - LOG_BLOWUP
+    qvals = bb.mont_mul(folded, bb.to_mont(inv_zh)[:, None])
+    n_inv = bb.inv_s(big % bb.P)
+    qc = device_ntt(qvals, log_big, True, intt_tables)
+    qc = bb.mont_mul(qc, jnp.uint32((n_inv * bb.R_MOD_P) % bb.P))
+    qc = bb.mont_mul(qc, bb.to_mont(inv_shift)[:, None])
+    q0 = qc[0::2]
+    q1 = qc[1::2]
+    return jnp.concatenate([
+        device_ntt(q0, log_h, False, ntt_tables),
+        device_ntt(q1, log_h, False, ntt_tables)], axis=1)
+
+
+def _window(mat, c0: int, rows: int, stride: int, big: int):
+    """Rows (c0 + i) % big for i in [0, rows + stride): the periodic
+    extension makes rot=1 slices exact for every real row (including the
+    wraparound at big-1) and fills rows past small domains with harmless
+    repeats that the caller slices off."""
+    total = rows + stride
+    if big <= total:                     # single window over a small domain
+        reps = (total + big - 1) // big
+        tiled = jnp.tile(mat, (reps,) + (1,) * (mat.ndim - 1))
+        return tiled[:total] if c0 == 0 else \
+            jnp.concatenate([tiled[c0:], tiled[:c0]], axis=0)[:total]
+    parts = []
+    p = c0
+    left = total
+    while left > 0:
+        t = min(left, big - p)
+        parts.append(mat[p:p + t])
+        left -= t
+        p = (p + t) % big
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def device_quotient_chunk_windowed(builder, main_lde, prep_lde, perm_lde,
+                                   pv_dev, r, gamma, alpha, cum,
+                                   log_h: int):
+    max_vals = max((len(i.values) for i in builder.interactions), default=0)
+    gpows = gamma_pows_mont(gamma, max_vals)
+    r_mont = bb.to_mont(ext_scalar_dev(r))
+    cum_dev = ext_scalar_dev(cum)
+    n_base = len(builder.constraints)
+    from ..logup.trace import interaction_batches
+    n_perm = len(interaction_batches(builder)) + 3
+    apows = host_pcs.ext_powers(alpha, n_base + n_perm)
+    weights = apows[::-1].astype(np.uint32)
+    apows_mont = jnp.asarray(bb.np_to_mont(np.ascontiguousarray(weights)))
+    tabs = _coset_tables(log_h)
+    log_big = log_h + LOG_BLOWUP
+    big = 1 << log_big
+    stride = 1 << LOG_BLOWUP
+    rows = _QUOT_WIN     # fixed: every trace height shares one compile
+    fn = _quotient_vals_fn(builder, prep_lde is not None)
+    parts = []
+    for c0 in range(0, big, rows):
+        main_w = _window(main_lde, c0, rows, stride, big)
+        prep_w = None if prep_lde is None else \
+            _window(prep_lde, c0, rows, stride, big)
+        perm_w = _window(perm_lde, c0, rows, stride, big)
+        sels_w = {k: _window(v, c0, rows, 0, big)
+                  for k, v in tabs["sels"].items()}
+        parts.append(fn(main_w, prep_w, perm_w, pv_dev, r_mont, gpows,
+                        cum_dev, apows_mont, sels_w))
+    folded = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    folded = folded[:big]                # drop small-domain padding rows
+    return _quotient_epilogue(folded, tabs["inv_zh"], tabs["inv_shift"],
+                              cg_tables_dev(log_big, True),
+                              cg_tables_dev(log_h, False), log_big)
+
+
 def device_quotient_chunk(builder, main_lde, prep_lde, perm_lde, pv_dev,
                           r, gamma, alpha, cum, log_h: int):
+    """(h, 8) quotient chunk matrix, bit-exact vs the host prover.
+
+    Default path: windowed height-independent kernels (above);
+    LURK_TPU_QUOT_WINDOW=0 forces the per-(chip, height) monolithic
+    kernel (both bit-exact vs the host oracle)."""
+    import os
+    if os.environ.get("LURK_TPU_QUOT_WINDOW", "1") != "0":
+        return device_quotient_chunk_windowed(
+            builder, main_lde, prep_lde, perm_lde, pv_dev, r, gamma, alpha,
+            cum, log_h)
+    return _device_quotient_chunk_mono(builder, main_lde, prep_lde,
+                                       perm_lde, pv_dev, r, gamma, alpha,
+                                       cum, log_h)
+
+
+def _device_quotient_chunk_mono(builder, main_lde, prep_lde, perm_lde,
+                                pv_dev, r, gamma, alpha, cum, log_h: int):
     """(h, 8) quotient chunk matrix, bit-exact vs the host prover."""
     max_vals = max((len(i.values) for i in builder.interactions), default=0)
     gpows = gamma_pows_mont(gamma, max_vals)
@@ -1389,6 +1655,13 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
     return MachineProof(shard_proofs, list(pv))
 
 
+def _generic_perm_enabled() -> bool:
+    """The plan-driven perm kernel is the default; LURK_TPU_GENERIC_PERM=0
+    forces the per-chip DAG kernels (both are bit-exact vs the host)."""
+    import os
+    return os.environ.get("LURK_TPU_GENERIC_PERM", "1") != "0"
+
+
 def _host_chip_min_rows() -> int:
     """Chips with fewer trace rows than this run their perm/quotient math
     on the HOST numpy path (bit-exact oracle) inside the device prover.
@@ -1440,8 +1713,13 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
         if has_prep:
             pidx = prep_names.index(chip.name)
             prep_dev = prep_round.matrices[pidx]
-        perm, cum_dev = device_perm_trace_dev(builder, main_dev, prep_dev,
-                                              pv_dev, r, gamma)
+        plan = plan_for(builder) if _generic_perm_enabled() else None
+        if plan is not None and builder.interactions:
+            perm, cum_dev = device_perm_trace_plan(plan, main_dev, prep_dev,
+                                                   pv, r, gamma)
+        else:
+            perm, cum_dev = device_perm_trace_dev(builder, main_dev,
+                                                  prep_dev, pv_dev, r, gamma)
         perm_mats.append(perm)
         cum_slots[i] = len(cum_devs)
         cum_devs.append(cum_dev)

@@ -154,3 +154,46 @@ def test_device_fri_host_tail_thresholds(monkeypatch):
         dev = machine.prove(pk, q, Challenger(), device=True)
         _assert_proofs_equal(host, dev)
         assert machine.verify(vk, dev, Challenger())
+
+
+def test_generic_perm_plan_bit_exact_all_chips():
+    """The plan-driven generic perm kernel (logup/affine.py +
+    device_perm_trace_plan) equals build_permutation_trace bit-for-bit on
+    every chip of a proving machine, including preprocessed chips, public
+    values and selector-referencing interactions."""
+    import jax.numpy as jnp
+    from lurk_tpu.lair.chips import chip_included, chip_preprocessed
+    from lurk_tpu.lair.execute import Shard
+    from lurk_tpu.logup.trace import build_permutation_trace
+    from lurk_tpu.stark import device_prover as dp
+
+    machine, q = _setup("factorial", [8], (40320,))
+    pv = q.expect_public_values()
+    shard = Shard(q)
+    r, gamma = (11, 22, 33, 44), (5, 6, 7, 8)
+    checked = 0
+    for chip in machine.chips:
+        if not chip_included(chip, shard):
+            continue
+        builder = machine.builder_for(chip)
+        if not builder.interactions:
+            continue
+        plan = dp.plan_for(builder)
+        assert plan is not None, f"{chip.name}: interactions must be affine"
+        main = np.asarray(chip.generate_trace(shard), np.uint64)
+        prep = chip_preprocessed(chip)
+        prep64 = None if prep is None else np.asarray(prep, np.uint64)
+        host_trace, host_cum = build_permutation_trace(
+            builder, main, prep64, pv, r, gamma)
+        prep_dev = None if prep is None else \
+            jnp.asarray(prep64.astype(np.uint32))
+        dev_trace, dev_cum = dp.device_perm_trace_plan(
+            plan, jnp.asarray(main.astype(np.uint32)), prep_dev, pv, r,
+            gamma)
+        np.testing.assert_array_equal(
+            np.asarray(dev_trace, np.uint64), host_trace,
+            err_msg=f"perm trace mismatch for {chip.name}")
+        assert tuple(int(x) for x in np.asarray(dev_cum)) == host_cum, \
+            chip.name
+        checked += 1
+    assert checked >= 3
