@@ -50,7 +50,11 @@ def maybe_enable_xla_cache():
             os.path.expanduser("~"), ".cache", "lurk_tpu", "xla")
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # cache even trivial compiles: on the tunneled device every
+        # compile is a remote HTTP round trip (~0.3-1s), so the dozens of
+        # tiny per-shape eager ops (concats, pads, slices) the prover
+        # issues are exactly the ones worth persisting
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _xla_cache_state = "on"
     except Exception:
         _xla_cache_state = "off"  # an optimization, never a requirement

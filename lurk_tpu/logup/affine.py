@@ -203,7 +203,8 @@ def build_plan(builder: SymbolicBuilder) -> Optional[InteractionPlan]:
                                         default=0))
 
 
-def assemble(plan: InteractionPlan, public_values, r, gamma):
+def assemble(plan: InteractionPlan, public_values, r, gamma,
+             pad_d_one: bool = False):
     """Host-side weight assembly for one (r, gamma, pv) claim.
 
     Returns numpy arrays (all Montgomery form where multiplied on device):
@@ -212,7 +213,10 @@ def assemble(plan: InteractionPlan, public_values, r, gamma):
       dconst (nIp, 4) ext = r + sum_j gamma^(j+1) * const_j(pv)
       mi (maxM, nIp) int32 ; mw (maxM, nIp) base mult coeffs (signed)
       mconst (nIp,) base mult constants (signed)
-    Padded interactions get zero mult => zero contribution."""
+    Padded interactions get zero mult => zero contribution. With
+    pad_d_one, padded fingerprints are 1 instead of 0 - the quotient
+    kernel multiplies a singleton batch's lhs/rhs by its pad partner's d
+    (the perm-trace kernel instead relies on einv(0) = 0)."""
     nIp = plan.n_inter_padded
     maxT, maxM = plan.max_terms, plan.max_mult_terms
     gpows = gamma_powers(gamma, plan.max_vals)
@@ -241,7 +245,8 @@ def assemble(plan: InteractionPlan, public_values, r, gamma):
         for t, (ci, coeff) in enumerate(plan.mult_terms[k]):
             mi[t, k] = ci
             mw[t, k] = (coeff * sgn) % P
-    # padded interactions: dconst stays 0 -> einv(0) = 0, mult 0 -> no-op
+    if pad_d_one:
+        dconst[plan.n_inter:, 0] = 1
     return {
         "ti": ti,
         "tw": bb.np_to_mont(tw.astype(np.uint32)),

@@ -999,6 +999,261 @@ def _window(mat, c0: int, rows: int, stride: int, big: int):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
+# ---------------------------------------------------------------------------
+# VM quotient: the whole machine shares a handful of compiled kernels
+#
+# Even height-independent per-chip kernels cost seconds of per-process
+# first-use on the tunneled device (47 chips ~ 480s of a warm fib-25000
+# prove, XLA-cache hits included - executable loading, not compilation).
+# Here the chip's constraint DAG runs as BYTECODE on one generic scan
+# kernel (stark/constraint_vm.py) and the LogUp perm-quotient runs on one
+# generic affine-plan kernel, so the compile/load count is O(shape
+# buckets) for the whole machine.
+# ---------------------------------------------------------------------------
+
+_VM_FNS: Dict[tuple, object] = {}
+_VMPROG_CACHE: Dict[str, object] = {}
+_PQ_FNS: Dict[tuple, object] = {}
+
+
+def _vm_rows(buf_cols: int) -> int:
+    """Window rows for a VM buffer of `buf_cols` columns: target ~2^26
+    buffer cells (256MB transient ceiling incl. scan copies), clamped to
+    [2^12, 2^16]. Part of the kernel key, so it is per BUCKET, not per
+    height - narrow chips get fewer dispatches, wide chips stay in
+    memory."""
+    rows = 1 << 12
+    while rows < (1 << 16) and rows * 2 * buf_cols <= (1 << 26):
+        rows *= 2
+    return rows
+
+
+def vm_program_for(builder):
+    fp = builder_fingerprint(builder)
+    prog = _VMPROG_CACHE.get(fp)
+    if prog is None:
+        from .constraint_vm import linearize
+        prog = linearize(builder)
+        _VMPROG_CACHE[fp] = prog
+    return prog
+
+
+def _vm_fn(rows: int, Rp: int, Wp: int, ncp: int, K: int):
+    """Generic constraint-VM kernel: executes `ops` over a BUF of
+    [Rp regs | Wp local | Wp next | ncp consts] Montgomery row vectors,
+    then alpha-folds the result registers (zero weights on scratch)."""
+    key = (rows, Rp, Wp, ncp, K)
+    fn = _VM_FNS.get(key)
+    if fn is not None:
+        return fn
+    stride = 1 << LOG_BLOWUP
+
+    def raw(X, ops, consts_mont, apows_mont):
+        # X: (rows + stride, Wp) canonical; consts (ncp,) mont;
+        # apows (ncons_p, 4) mont fold weights (zero-padded)
+        Xm = bb.to_mont(X)
+        buf = jnp.concatenate([
+            jnp.zeros((rows, Rp), U32),
+            Xm[:rows],
+            Xm[stride:stride + rows],
+            jnp.broadcast_to(consts_mont, (rows, ncp)),
+        ], axis=1)
+
+        def step(b, op):
+            o, d, ia, ib = op[0], op[1], op[2], op[3]
+            va = jax.lax.dynamic_slice_in_dim(b, ia, 1, axis=1)[:, 0]
+            vb = jax.lax.dynamic_slice_in_dim(b, ib, 1, axis=1)[:, 0]
+            r = jnp.where(o == OP_ADD_C, bb.fadd(va, vb),
+                          jnp.where(o == OP_SUB_C, bb.fsub(va, vb),
+                                    bb.mont_mul(va, vb)))
+            b = jax.lax.dynamic_update_slice(b, r[:, None], (0, d))
+            return b, None
+
+        buf, _ = jax.lax.scan(step, buf, ops)
+
+        def fold(i, acc):
+            c = jax.lax.dynamic_slice_in_dim(buf, i, 1, axis=1)[:, 0]
+            w = jax.lax.dynamic_slice_in_dim(apows_mont, i, 1, axis=0)[0]
+            cc = bb.from_mont(c)   # mont reg -> canonical constraint value
+            return bb.fadd(acc, bb.mont_mul(
+                jnp.broadcast_to(w, (rows, 4)), cc[:, None]))
+
+        folded = jax.lax.fori_loop(0, Rp, fold,
+                                   jnp.zeros((rows, 4), U32))
+        return folded
+
+    fn = jax.jit(raw)
+    _VM_FNS[key] = fn
+    return fn
+
+
+def _pq_fn(rows: int, Wp: int, nIp: int, maxT: int, maxM: int, Bp: int):
+    """Generic windowed LogUp perm-quotient kernel: evaluates every
+    batch's lhs-rhs value and the three running-sum constraints from the
+    affine plan arrays, alpha-folding with caller-supplied weights
+    (zero weights on padded batches)."""
+    key = (rows, Wp, nIp, maxT, maxM, Bp)
+    fn = _PQ_FNS.get(key)
+    if fn is not None:
+        return fn
+    stride = 1 << LOG_BLOWUP
+
+    def raw(X, phi_win, s_win, ti, tw, dconst, mi, mw, mconst, cum_dev,
+            wb, wsel, first, trans, last):
+        # X (rows+stride, Wp) canonical; phi_win (rows+stride, 4*Bp)
+        # zero-padded; s_win (rows+stride, 4); wb (Bp, 4)/wsel (3, 4) mont
+        # fold weights; first/trans/last (rows,) canonical coset selectors
+        Xm = bb.to_mont(X[:rows])
+        D = jnp.broadcast_to(dconst, (rows, nIp, 4))
+        for t in range(maxT):
+            col = Xm[:, ti[t]]
+            D = bb.fadd(D, bb.mont_mul(
+                jnp.broadcast_to(tw[t], (rows, nIp, 4)), col[:, :, None]))
+        M = jnp.broadcast_to(mconst, (rows, nIp))
+        for t in range(maxM):
+            M = bb.fadd(M, bb.mont_mul(mw[t][None, :], Xm[:, mi[t]]))
+        # per batch pair (2b, 2b+1): lhs = phi_b*d0*d1, rhs = m0*d1+m1*d0
+        phi_l = phi_win[:rows].reshape(rows, Bp, 4)
+        phi_n = phi_win[stride:stride + rows].reshape(rows, Bp, 4)
+        d0 = D[:, 0::2]
+        d1 = D[:, 1::2]
+        m0 = M[:, 0::2]
+        m1 = M[:, 1::2]
+        lhs = ext_jnp.emul_mont(ext_jnp.emul_mont(bb.to_mont(phi_l), d0),
+                                d1)
+        t0 = ext_jnp.emul_mont(jnp.zeros((rows, Bp, 4), U32)
+                               .at[:, :, 0].set(m0), d1)
+        t1 = ext_jnp.emul_mont(jnp.zeros((rows, Bp, 4), U32)
+                               .at[:, :, 0].set(m1), d0)
+        outs = bb.from_mont(bb.fsub(lhs, bb.fadd(t0, t1)))  # (rows, Bp, 4)
+        # fold batches: sum_b wb[b] * outs[:, b]
+        folded = jnp.zeros((rows, 4), U32)
+
+        def foldb(b, acc):
+            w = jax.lax.dynamic_slice_in_dim(wb, b, 1, axis=0)[0]
+            o = jax.lax.dynamic_slice_in_dim(outs, b, 1, axis=1)[:, 0]
+            return bb.fadd(acc, bb.from_mont(ext_jnp.emul_mont(
+                bb.to_mont(o), jnp.broadcast_to(w, (rows, 4)))))
+
+        folded = jax.lax.fori_loop(0, Bp, foldb, folded)
+        # running-sum constraints (padded phi columns are zero, so the
+        # Bp-sum equals the real-batch sum)
+        total_phi = mod_tree_sum(phi_l, axis=1)
+        total_phi_next = mod_tree_sum(phi_n, axis=1)
+        s_col = s_win[:rows]
+        s_next = s_win[stride:stride + rows]
+        cum = jnp.broadcast_to(cum_dev, (rows, 4))
+
+        def scale_sel(sel, v):
+            return bb.mont_mul(v, bb.to_mont(sel)[:, None])
+
+        sel_vals = [
+            scale_sel(first, bb.fsub(s_col, total_phi)),
+            scale_sel(trans, bb.fsub(bb.fsub(s_next, s_col),
+                                     total_phi_next)),
+            scale_sel(last, bb.fsub(s_col, cum)),
+        ]
+        for k, v in enumerate(sel_vals):
+            folded = bb.fadd(folded, ext_mul_scalar(v, wsel[k]))
+        return folded
+
+    fn = jax.jit(raw)
+    _PQ_FNS[key] = fn
+    return fn
+
+
+# opcode constants shared with constraint_vm (imported lazily to avoid a
+# cycle at module load)
+from .constraint_vm import OP_ADD as OP_ADD_C, OP_SUB as OP_SUB_C  # noqa: E402
+
+
+def device_quotient_chunk_vm(builder, main_lde, prep_lde, perm_lde,
+                             pv, pv_dev, r, gamma, alpha, cum,
+                             log_h: int):
+    """Quotient chunk via the generic VM + perm-plan kernels: one set of
+    compiled programs serves every chip/height/shard/process."""
+    from ..logup.affine import assemble
+    from ..logup.trace import interaction_batches
+    prog = vm_program_for(builder)
+    plan = plan_for(builder)
+    assert plan is not None, "non-affine interactions need the DAG path"
+    n_base = len(builder.constraints)
+    nb_real = len(interaction_batches(builder))
+    n_perm = nb_real + 3
+    apows = host_pcs.ext_powers(alpha, n_base + n_perm)
+    weights = apows[::-1].astype(np.uint32)      # i -> alpha^(n-1-i)
+    wbase = np.zeros((prog.regs_padded, 4), np.uint32)
+    wbase[:n_base] = weights[:n_base]
+    wbase_mont = jnp.asarray(bb.np_to_mont(wbase))
+    Bp = plan.n_inter_padded // 2
+    wb = np.zeros((Bp, 4), np.uint32)
+    wb[:nb_real] = weights[n_base:n_base + nb_real]
+    wsel = weights[n_base + nb_real:]
+    wb_mont = jnp.asarray(bb.np_to_mont(wb))
+    wsel_mont = jnp.asarray(bb.np_to_mont(np.ascontiguousarray(wsel)))
+
+    Wp = max(prog.width_padded, plan.width_padded)
+    arrs = assemble(plan, pv, r, gamma, pad_d_one=True)
+    ops = jnp.asarray(prog.padded_ops(Wp))
+    consts = jnp.asarray(prog.consts_mont(pv))
+    cum_dev = ext_scalar_dev(cum)
+    tabs = _coset_tables(log_h)
+    log_big = log_h + LOG_BLOWUP
+    big = 1 << log_big
+    stride = 1 << LOG_BLOWUP
+    rows = _vm_rows(prog.regs_padded + 2 * Wp + prog.consts_padded)
+
+    sels_cols = jnp.stack([tabs["sels"]["first"], tabs["sels"]["last"],
+                           tabs["sels"]["transition"]], axis=1)
+    phi_cols = perm_lde[:, :4 * nb_real]
+    s_cols = perm_lde[:, 4 * nb_real:4 * nb_real + 4]
+
+    vm = _vm_fn(rows, prog.regs_padded, Wp, prog.consts_padded,
+                prog.ops_padded)
+    pq = _pq_fn(rows, Wp, plan.n_inter_padded, plan.max_terms,
+                plan.max_mult_terms, Bp)
+    ti = jnp.asarray(arrs["ti"])
+    tw = jnp.asarray(arrs["tw"])
+    dc = jnp.asarray(arrs["dconst"])
+    mi = jnp.asarray(arrs["mi"])
+    mw = jnp.asarray(arrs["mw"])
+    mc = jnp.asarray(arrs["mconst"])
+
+    parts_out = []
+    for c0 in range(0, big, rows):
+        # per-window X assembly ([main|prep|sels|ones|pad]) bounds device
+        # memory by the window, not the full LDE width-padded matrix
+        xw_parts = [_window(main_lde, c0, rows, stride, big)]
+        if prep_lde is not None:
+            xw_parts.append(_window(prep_lde, c0, rows, stride, big))
+        xw_parts.append(_window(sels_cols, c0, rows, stride, big))
+        xw_parts.append(jnp.ones((rows + stride, 1), U32))
+        wx_real = sum(int(p.shape[1]) for p in xw_parts)
+        if wx_real < Wp:
+            xw_parts.append(jnp.zeros((rows + stride, Wp - wx_real), U32))
+        Xw = jnp.concatenate(xw_parts, axis=1)
+        phi_w = _window(phi_cols, c0, rows, stride, big)
+        if Bp > nb_real:
+            phi_w = jnp.concatenate([
+                phi_w, jnp.zeros((rows + stride, 4 * (Bp - nb_real)),
+                                 U32)], axis=1)
+        s_w = _window(s_cols, c0, rows, stride, big)
+        f_w = _window(tabs["sels"]["first"], c0, rows, 0, big)
+        t_w = _window(tabs["sels"]["transition"], c0, rows, 0, big)
+        l_w = _window(tabs["sels"]["last"], c0, rows, 0, big)
+        folded = vm(Xw, ops, consts, wbase_mont)
+        folded = bb.fadd(folded, pq(Xw, phi_w, s_w, ti, tw, dc, mi, mw,
+                                    mc, cum_dev, wb_mont, wsel_mont,
+                                    f_w, t_w, l_w))
+        parts_out.append(folded)
+    folded = parts_out[0] if len(parts_out) == 1 else \
+        jnp.concatenate(parts_out, axis=0)
+    folded = folded[:big]
+    return _quotient_epilogue(folded, tabs["inv_zh"], tabs["inv_shift"],
+                              cg_tables_dev(log_big, True),
+                              cg_tables_dev(log_h, False), log_big)
+
+
 def device_quotient_chunk_windowed(builder, main_lde, prep_lde, perm_lde,
                                    pv_dev, r, gamma, alpha, cum,
                                    log_h: int):
@@ -1035,15 +1290,22 @@ def device_quotient_chunk_windowed(builder, main_lde, prep_lde, perm_lde,
                               cg_tables_dev(log_h, False), log_big)
 
 
-def device_quotient_chunk(builder, main_lde, prep_lde, perm_lde, pv_dev,
-                          r, gamma, alpha, cum, log_h: int):
+def device_quotient_chunk(builder, main_lde, prep_lde, perm_lde, pv,
+                          pv_dev, r, gamma, alpha, cum, log_h: int):
     """(h, 8) quotient chunk matrix, bit-exact vs the host prover.
 
-    Default path: windowed height-independent kernels (above);
-    LURK_TPU_QUOT_WINDOW=0 forces the per-(chip, height) monolithic
-    kernel (both bit-exact vs the host oracle)."""
+    Paths (all bit-exact vs the host oracle):
+      LURK_TPU_QUOT=vm (default): generic constraint-VM + perm-plan
+        kernels - a handful of compiled programs for the whole machine;
+      LURK_TPU_QUOT=window: per-chip height-independent windowed kernels;
+      LURK_TPU_QUOT=mono: per-(chip, height) monolithic kernels."""
     import os
-    if os.environ.get("LURK_TPU_QUOT_WINDOW", "1") != "0":
+    mode = os.environ.get("LURK_TPU_QUOT", "vm")
+    if mode == "vm" and plan_for(builder) is not None:
+        return device_quotient_chunk_vm(
+            builder, main_lde, prep_lde, perm_lde, pv, pv_dev, r, gamma,
+            alpha, cum, log_h)
+    if mode in ("vm", "window"):
         return device_quotient_chunk_windowed(
             builder, main_lde, prep_lde, perm_lde, pv_dev, r, gamma, alpha,
             cum, log_h)
@@ -1769,7 +2031,7 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
             prep_lde = prep_round.ldes[pidx]
         chunk = device_quotient_chunk(
             builder, main_round.ldes[i], prep_lde, perm_round.ldes[i],
-            pv_dev, r, gamma, alpha, cums[i], log_h)
+            pv, pv_dev, r, gamma, alpha, cums[i], log_h)
         quotient_mats.append(chunk)
     t0 = _tlog("  quotient chunks (dispatch+host)", t0)
     quotient_round = dcommit(quotient_mats)

@@ -197,3 +197,16 @@ def test_generic_perm_plan_bit_exact_all_chips():
             chip.name
         checked += 1
     assert checked >= 3
+
+
+@pytest.mark.parametrize("mode", ["window", "mono"])
+def test_device_proof_quotient_fallback_modes(monkeypatch, mode):
+    """The non-default quotient paths (per-chip windowed kernels, per-
+    (chip,height) monolithic kernels) stay bit-exact vs the host prover."""
+    monkeypatch.setenv("LURK_TPU_QUOT", mode)
+    machine, q = _setup("factorial", [6], (720,))
+    pk, vk = machine.setup()
+    host = machine.prove(pk, q, Challenger(), device=False)
+    dev = machine.prove(pk, q, Challenger(), device=True)
+    _assert_proofs_equal(host, dev)
+    assert machine.verify(vk, dev, Challenger())
