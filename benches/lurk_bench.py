@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--arg", type=int, default=None)
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--pow-bits", type=int, default=16)
+    ap.add_argument("--repeat", action="store_true",
+                    help="prove twice and also report the in-process "
+                         "steady-state time (kernels resident)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (default: platform auto)")
     ap.add_argument("--jax-profile", metavar="DIR", default=None,
@@ -147,6 +150,15 @@ def main():
         proof = machine.prove(pk, queries, Challenger())
     dt_prove = time.perf_counter() - t0
     emit("prove", dt_prove, cells=cells, cells_per_s=round(cells / dt_prove, 1))
+
+    if args.repeat:
+        # in-process steady state: what a proving service (REPL/microchain
+        # server) pays per proof once every kernel is resident
+        t0 = time.perf_counter()
+        proof = machine.prove(pk, queries, Challenger())
+        dt2 = time.perf_counter() - t0
+        emit("prove_steady_state", dt2, cells=cells,
+             cells_per_s=round(cells / dt2, 1))
 
     t0 = time.perf_counter()
     ok = machine.verify(vk, proof, Challenger())

@@ -1392,4 +1392,49 @@ u32 lair_challenger_observe(const u32* consts, u64 consts_len, u32* state,
   return duplexed_last;
 }
 
+// Constraint-VM evaluation over k extension-field instances (the
+// verifier's batched zeta check - stark/machine.py): executes the same
+// register program the device prover runs (stark/constraint_vm.py),
+// with every value a degree-4 extension element. buf is (C, k, 4) u64
+// canonical, ops (K, 4) i32 [opcode, dst, a, b]; opcodes 0=add 1=sub
+// 2=mul (ext mul over F_p[x]/(x^4 - 11)).
+void lair_vm_eval_ext(const int32_t* ops, u64 n_ops, u64* buf, u64 ncols,
+                      u64 k) {
+  constexpr u64 W = 11;
+  const u64 lane = k * 4;
+  for (u64 s = 0; s < n_ops; s++) {
+    const int32_t* op = ops + s * 4;
+    u64* d = buf + (u64)op[1] * lane;
+    const u64* x = buf + (u64)op[2] * lane;
+    const u64* y = buf + (u64)op[3] * lane;
+    switch (op[0]) {
+      case 0:
+        for (u64 i = 0; i < lane; i++) {
+          u64 v = x[i] + y[i];
+          d[i] = v >= P ? v - P : v;
+        }
+        break;
+      case 1:
+        for (u64 i = 0; i < lane; i++)
+          d[i] = x[i] >= y[i] ? x[i] - y[i] : x[i] + P - y[i];
+        break;
+      default:
+        for (u64 r = 0; r < k; r++) {
+          const u64* a = x + r * 4;
+          const u64* b = y + r * 4;
+          u64 c[7] = {0, 0, 0, 0, 0, 0, 0};
+          for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 4; j++)
+              c[i + j] += a[i] * b[j] % P;
+          u64* o = d + r * 4;
+          for (int i = 0; i < 3; i++)
+            o[i] = (c[i] + W * (c[i + 4] % P)) % P;
+          o[3] = c[3] % P;
+        }
+        break;
+    }
+  }
+}
+
 }  // extern "C"
+

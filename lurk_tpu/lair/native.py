@@ -433,3 +433,27 @@ def challenger_observe(state: np.ndarray, inbuf: np.ndarray,
 def build_native():
     import subprocess
     subprocess.run([str(_LIB_PATH.parent / "build.sh")], check=True)
+
+
+@lru_cache(maxsize=1)
+def _vm_eval_fn():
+    lib = _lib()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.lair_vm_eval_ext.restype = None
+    lib.lair_vm_eval_ext.argtypes = [i32p, ctypes.c_uint64, u64p,
+                                     ctypes.c_uint64, ctypes.c_uint64]
+    return lib.lair_vm_eval_ext
+
+
+def vm_eval_ext(ops: np.ndarray, buf: np.ndarray) -> None:
+    """Run a constraint-VM program (stark/constraint_vm.py) over k
+    extension instances IN PLACE: buf (ncols, k, 4) u64 canonical with
+    the program's [regs | X local | X next | consts] column layout."""
+    assert ops.dtype == np.int32 and ops.ndim == 2 and ops.shape[1] == 4
+    assert buf.dtype == np.uint64 and buf.ndim == 3 and buf.shape[2] == 4
+    assert ops.flags.c_contiguous and buf.flags.c_contiguous
+    _vm_eval_fn()(
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ops),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        buf.shape[0], buf.shape[1])

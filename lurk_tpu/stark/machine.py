@@ -445,6 +445,21 @@ class StarkMachine:
             for root in sp.main_roots:
                 challenger.observe_many(root)
 
+        # LURK_TPU_VERIFY_TIMING=1 prints per-phase wall times
+        import os as _os
+        import time as _time
+        import sys as _sys
+        _vt = _os.environ.get("LURK_TPU_VERIFY_TIMING", "0") == "1"
+        _t0 = _time.perf_counter()
+
+        def _vlog(label):
+            nonlocal _t0
+            t1 = _time.perf_counter()
+            if _vt:
+                print(f"[verify-timing] {label}: {t1 - _t0:.4f}s",
+                      file=_sys.stderr, flush=True)
+            _t0 = t1
+
         # Phase 1 (serial per shard): walk each shard's transcript to
         # derive its challenges and collect its constraint-check inputs.
         infos = []
@@ -454,11 +469,13 @@ class StarkMachine:
             if info is None:
                 return False
             infos.append(info)
+        _vlog("shard transcripts")
 
         # Phase 2 (batched across shards): the constraint check at zeta,
         # one DAG walk per distinct chip over all its shard instances.
         if not self._batched_zeta_checks(vk, infos, pv):
             return False
+        _vlog("zeta checks")
 
         # Phase 3: PCS verification per shard with ONE MultiVerifier so
         # the Merkle hashing of every shard's openings batches globally.
@@ -469,8 +486,10 @@ class StarkMachine:
                                      info["rounds_points"], sp.pcs_proof,
                                      self.config, info["ch"], multi=multi):
                 return False
+        _vlog("pcs rounds")
         if not multi.run():
             return False
+        _vlog("merkle multi-run")
 
         total_cum = (0, 0, 0, 0)
         for sp in proof.shard_proofs:
@@ -600,6 +619,51 @@ class StarkMachine:
             "prep_round_idx": prep_round_idx, "sp": sp, "ch": ch,
         }
 
+    def _native_constraint_vals(self, builder, k, main_local, main_next,
+                                prep_local, prep_next, sels_arr, pv):
+        """(ncons, k, 4) constraint values at zeta via the native
+        constraint VM (the numpy DAG walk's per-op overhead dominated
+        multi-shard verify), or None when the library isn't built."""
+        from ..lair import native
+        if not native.native_available():
+            return None
+        try:
+            native._vm_eval_fn()
+        except (OSError, AttributeError):
+            return None   # stale library without the VM entry point
+        from .constraint_vm import linearize
+        prog = getattr(builder, "_vm_program", None)
+        if prog is None:
+            prog = linearize(builder)
+            builder._vm_program = prog
+        R, Wx = prog.n_regs, prog.x_width
+        nc = len(prog.const_vals)
+        buf = np.zeros((R + 2 * Wx + nc, k, 4), np.uint64)
+        wm, wp = prog.main_width, prog.prep_width
+
+        def put_cols(base, local, nxt, w):
+            # opened values arrive as (k, w, 4); VM wants (w, k, 4)
+            buf[base:base + w] = np.transpose(local, (1, 0, 2))
+            buf[base + Wx:base + Wx + w] = np.transpose(nxt, (1, 0, 2))
+
+        put_cols(R, main_local, main_next, wm)
+        if wp:
+            put_cols(R + wm, prep_local, prep_next, wp)
+        sel_base = R + wm + wp
+        for j, kind in enumerate(("first", "last", "transition")):
+            buf[sel_base + j] = sels_arr[kind]
+            buf[sel_base + j + Wx] = sels_arr[kind]
+        buf[R + wm + wp + 3, :, 0] = 1                 # ones column
+        buf[R + wm + wp + 3 + Wx, :, 0] = 1
+        consts = list(prog.const_vals)
+        for ci, pi in prog.pub_slots:
+            consts[ci] = int(pv[pi]) % bb.P
+        cbase = R + 2 * Wx
+        for ci, v in enumerate(consts):
+            buf[cbase + ci, :, 0] = v % bb.P
+        native.vm_eval_ext(np.ascontiguousarray(prog.ops), buf)
+        return buf[:prog.n_cons]
+
     def _batched_zeta_checks(self, vk, infos, pv) -> bool:
         """The constraint check at zeta for every (shard, chip), grouped
         by chip: one BatchPointEvalCtx DAG walk per distinct chip covers
@@ -672,9 +736,18 @@ class StarkMachine:
 
             bctx = BatchPointEvalCtx(main_local, main_next, prep_local,
                                      prep_next, pv, sels_arr)
+            cons_vals = self._native_constraint_vals(
+                builder, k, main_local, main_next, prep_local, prep_next,
+                sels_arr, pv)
             folded = np.zeros((k, 4), U64)
-            for c in builder.constraints:
-                folded = E_np.eadd(E_np.emul(folded, alphas), bctx.eval(c))
+            if cons_vals is not None:
+                for ci in range(cons_vals.shape[0]):
+                    folded = E_np.eadd(E_np.emul(folded, alphas),
+                                       cons_vals[ci])
+            else:
+                for c in builder.constraints:
+                    folded = E_np.eadd(E_np.emul(folded, alphas),
+                                       bctx.eval(c))
             # r/gamma are sampled before any shard-specific absorption and
             # are identical across shards (prover and verifier both fork
             # the challenger after the all-shard main-root absorb)
