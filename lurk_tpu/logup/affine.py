@@ -204,7 +204,7 @@ def build_plan(builder: SymbolicBuilder) -> Optional[InteractionPlan]:
 
 
 def assemble(plan: InteractionPlan, public_values, r, gamma,
-             pad_d_one: bool = False):
+             pad_d_one: bool = False, raw: bool = False):
     """Host-side weight assembly for one (r, gamma, pv) claim.
 
     Returns numpy arrays (all Montgomery form where multiplied on device):
@@ -247,6 +247,9 @@ def assemble(plan: InteractionPlan, public_values, r, gamma,
             mw[t, k] = (coeff * sgn) % P
     if pad_d_one:
         dconst[plan.n_inter:, 0] = 1
+    if raw:
+        return {"ti": ti, "tw": tw, "dconst": dconst, "mi": mi, "mw": mw,
+                "mconst": mconst}
     return {
         "ti": ti,
         "tw": bb.np_to_mont(tw.astype(np.uint32)),
@@ -255,3 +258,50 @@ def assemble(plan: InteractionPlan, public_values, r, gamma,
         "mw": bb.np_to_mont(mw.astype(np.uint32)),
         "mconst": bb.np_to_mont(mconst.astype(np.uint32)),
     }
+
+
+def eval_perm_at_point_plan(plan: InteractionPlan, arrs, X, phi,
+                            phi_next, s_val, s_next, cums, sels):
+    """Vectorized-over-interactions LogUp check at zeta for k shard
+    instances of one chip (bit-exact vs eval_perm_at_point; the per-
+    interaction numpy walk dominated multi-shard verify time).
+
+    arrs: assemble(..., pad_d_one=True, raw=True) output; X (k, Wx, 4)
+    extension column values at zeta ([main | prep | sels | ones]); phi
+    (k, B_real, 4) recombined batch columns; s_val/s_next (k, 4); cums
+    (k, 4); sels: kind -> (k, 4). Returns (k, nb+3, 4) constraint values
+    in host constraint order (batches, first, transition, last)."""
+    from ..field import ext_np as E
+    U = np.uint64
+    k = X.shape[0]
+    nIp = plan.n_inter_padded
+    nb = plan.n_batches
+    D = np.broadcast_to(arrs["dconst"][None], (k, nIp, 4)).copy()
+    for t in range(plan.max_terms):
+        xv = X[:, arrs["ti"][t]]                   # (k, nIp, 4)
+        D = E.eadd(D, E.emul(np.broadcast_to(arrs["tw"][t][None],
+                                             (k, nIp, 4)), xv))
+    M = np.zeros((k, nIp, 4), U)
+    M[:, :, 0] = np.broadcast_to(arrs["mconst"][None], (k, nIp))
+    for t in range(plan.max_mult_terms):
+        # mult term = base coeff * ext column value
+        M = E.eadd(M, E.escale(X[:, arrs["mi"][t]],
+                               arrs["mw"][t][None, :]))
+    # pair batches: lhs = phi_b * d0 * d1, rhs = m0*d1 + m1*d0 (padded
+    # partners have d = 1, m = 0, so singleton batches fold through)
+    d0, d1 = D[:, 0::2], D[:, 1::2]
+    m0, m1 = M[:, 0::2], M[:, 1::2]
+    phi_pad = np.zeros((k, nIp // 2, 4), U)
+    phi_pad[:, :nb] = phi
+    lhs = E.emul(E.emul(phi_pad, d0), d1)
+    rhs = E.eadd(E.emul(m0, d1), E.emul(m1, d0))
+    outs = E.esub(lhs, rhs)[:, :nb]                # (k, nb, 4)
+    total_phi = phi.astype(U).sum(axis=1) % np.uint64(bb.P)
+    total_phi_next = phi_next.astype(U).sum(axis=1) % np.uint64(bb.P)
+    sel_rows = np.stack([
+        E.emul(sels["first"], E.esub(s_val, total_phi)),
+        E.emul(sels["transition"],
+               E.esub(E.esub(s_next, s_val), total_phi_next)),
+        E.emul(sels["last"], E.esub(s_val, cums)),
+    ], axis=1)                                     # (k, 3, 4)
+    return np.concatenate([outs, sel_rows], axis=1)

@@ -687,45 +687,44 @@ def plan_for(builder):
     return _PLAN_CACHE[fp]
 
 
-def _generic_perm_fn(h: int, Wp: int, nIp: int, maxT: int, maxM: int):
-    key = (h, Wp, nIp, maxT, maxM)
+def _gperm_rows(nIp: int) -> int:
+    """Chunk rows for the generic perm kernel: bounds the (rows, nIp, 4)
+    fingerprint transients; part of the kernel key (per bucket, never per
+    trace height)."""
+    rows = 1 << 12
+    while rows < (1 << 16) and rows * 2 * nIp <= (1 << 23):
+        rows *= 2
+    return rows
+
+
+def _generic_perm_fn(rows: int, Wp: int, nIp: int, maxT: int, maxM: int):
+    """Per-CHUNK kernel: returns (phis (rows, 4B), local running sum
+    (rows, 4), chunk total (4,)). Height-independent - the caller stitches
+    chunks with eager adds (cumsum offsets), so no compiled program keys
+    on the trace height."""
+    key = (rows, Wp, nIp, maxT, maxM)
     fn = _GPERM_FNS.get(key)
     if fn is not None:
         return fn
-    # bound the (rows, nIp, 4) fingerprint transients like _PERM_CHUNK
-    chunk = h
-    while chunk * nIp > (1 << 24) and chunk > (1 << 12):
-        chunk //= 2
-
-    def block(Xm_b, ti, tw, dconst, mi, mw, mconst, hb: int):
-        D = jnp.broadcast_to(dconst, (hb, nIp, 4))
-        for t in range(maxT):
-            col = Xm_b[:, ti[t]]                       # (hb, nIp) mont
-            D = bb.fadd(D, bb.mont_mul(
-                jnp.broadcast_to(tw[t], (hb, nIp, 4)), col[:, :, None]))
-        d_inv = ext_jnp.einv(bb.from_mont(D))          # (hb, nIp, 4)
-        M = jnp.broadcast_to(mconst, (hb, nIp))
-        for t in range(maxM):
-            M = bb.fadd(M, bb.mont_mul(mw[t][None, :], Xm_b[:, mi[t]]))
-        # canonical inverse * mont multiplicity -> canonical contribution
-        contrib = bb.mont_mul(d_inv, M[:, :, None])
-        # batches are consecutive interaction PAIRS (logup/trace.py)
-        phi = bb.fadd(contrib[:, 0::2], contrib[:, 1::2])   # (hb, B, 4)
-        return phi.reshape(hb, -1)
 
     def raw(X, ti, tw, dconst, mi, mw, mconst):
         Xm = bb.to_mont(X)
-        if h <= chunk:
-            phis = block(Xm, ti, tw, dconst, mi, mw, mconst, h)
-        else:
-            nb = h // chunk
-            body = lambda xb: block(xb, ti, tw, dconst, mi, mw, mconst,
-                                    chunk)
-            phis = jax.lax.map(body, Xm.reshape(nb, chunk, Wp))
-            phis = phis.reshape(h, phis.shape[2])
-        total = mod_tree_sum(phis.reshape(h, nIp // 2, 4), axis=1)
+        D = jnp.broadcast_to(dconst, (rows, nIp, 4))
+        for t in range(maxT):
+            col = Xm[:, ti[t]]                         # (rows, nIp) mont
+            D = bb.fadd(D, bb.mont_mul(
+                jnp.broadcast_to(tw[t], (rows, nIp, 4)), col[:, :, None]))
+        d_inv = ext_jnp.einv(bb.from_mont(D))          # (rows, nIp, 4)
+        M = jnp.broadcast_to(mconst, (rows, nIp))
+        for t in range(maxM):
+            M = bb.fadd(M, bb.mont_mul(mw[t][None, :], Xm[:, mi[t]]))
+        # canonical inverse * mont multiplicity -> canonical contribution
+        contrib = bb.mont_mul(d_inv, M[:, :, None])
+        # batches are consecutive interaction PAIRS (logup/trace.py)
+        phi = bb.fadd(contrib[:, 0::2], contrib[:, 1::2])   # (rows, B, 4)
+        total = mod_tree_sum(phi, axis=1)                   # (rows, 4)
         s = mod_cumsum(total, axis=0)
-        return phis, s
+        return phi.reshape(rows, -1), s, s[-1]
 
     fn = jax.jit(raw)
     _GPERM_FNS[key] = fn
@@ -748,7 +747,11 @@ def _x_extras(h: int, pad: int):
 
 def device_perm_trace_plan(plan, main_dev, prep_dev, pv, r, gamma):
     """Plan-driven equivalent of device_perm_trace_dev: returns
-    (perm trace (h, 4(B+1)), cumulative sum (4,)), device-resident."""
+    (perm trace (h, 4(B+1)), cumulative sum (4,)), device-resident.
+
+    Rows beyond one chunk are separate kernel dispatches; the running sum
+    is stitched with eager offset adds, so every compiled program is
+    height-independent (rows padded up for short traces, sliced off)."""
     from ..logup.affine import assemble
     h = int(main_dev.shape[0])
     arrs = assemble(plan, pv, r, gamma)
@@ -757,15 +760,34 @@ def device_perm_trace_plan(plan, main_dev, prep_dev, pv, r, gamma):
         parts.append(prep_dev)
     parts.append(_x_extras(h, plan.width_padded - plan.x_width))
     X = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-    fn = _generic_perm_fn(h, plan.width_padded, plan.n_inter_padded,
+    rows = _gperm_rows(plan.n_inter_padded)
+    fn = _generic_perm_fn(rows, plan.width_padded, plan.n_inter_padded,
                           plan.max_terms, plan.max_mult_terms)
-    phis, s = fn(X, jnp.asarray(arrs["ti"]), jnp.asarray(arrs["tw"]),
-                 jnp.asarray(arrs["dconst"]), jnp.asarray(arrs["mi"]),
-                 jnp.asarray(arrs["mw"]), jnp.asarray(arrs["mconst"]))
+    args = (jnp.asarray(arrs["ti"]), jnp.asarray(arrs["tw"]),
+            jnp.asarray(arrs["dconst"]), jnp.asarray(arrs["mi"]),
+            jnp.asarray(arrs["mw"]), jnp.asarray(arrs["mconst"]))
     nb_real = plan.n_batches
-    if 4 * nb_real < int(phis.shape[1]):
-        phis = phis[:, :4 * nb_real]
-    return jnp.concatenate([phis, s], axis=1), s[-1]
+    nIp = plan.n_inter_padded
+    chunks = []
+    offset = None                      # running-sum offset (4,)
+    for c0 in range(0, h, rows):
+        Xw = _window(X, c0, rows, 0, h)   # pads short traces by repeats
+        phis, s, tot = fn(Xw, *args)
+        if 4 * nb_real < 4 * (nIp // 2):
+            phis = phis[:, :4 * nb_real]
+        if offset is not None:
+            s = bb.fadd(s, jnp.broadcast_to(offset, (rows, 4)))
+            tot = bb.fadd(tot, offset)
+        chunks.append(jnp.concatenate([phis, s], axis=1))
+        offset = tot
+    perm = chunks[0] if len(chunks) == 1 else \
+        jnp.concatenate(chunks, axis=0)
+    if int(perm.shape[0]) > h:
+        perm = perm[:h]
+        # the repeated padding rows polluted the running sum only PAST h,
+        # which was just sliced off; cum is row h-1's sum
+        return perm, perm[h - 1, 4 * nb_real:]
+    return perm, offset
 
 
 # ---------------------------------------------------------------------------

@@ -688,6 +688,23 @@ class StarkMachine:
         for _ in range(3):
             xpows.append(ext_s.emul_s(xpows[-1], gen))
 
+        # alpha-power tables, shared by every chip group with the same
+        # shard membership (the per-chip iterative rebuild was measurable)
+        pw_cache: Dict[tuple, list] = {}
+
+        def alpha_pow_table(key, alphas, n, k):
+            pw = pw_cache.get(key)
+            if pw is None:
+                pw = np.zeros((1, k, 4), U64)
+                pw[0, :, 0] = 1
+            while pw.shape[0] < n:
+                # block doubling: [a^m .. a^(2m-1)] = a^m * [a^0 .. a^(m-1)]
+                a_m = E_np.emul(pw[-1], alphas)          # (k, 4)
+                block = E_np.emul(pw, np.broadcast_to(a_m, pw.shape))
+                pw = np.concatenate([pw, block], axis=0)
+            pw_cache[key] = pw
+            return pw[:n]                     # (n, k, 4)
+
         for name, insts in groups.items():
             k = len(insts)
             info0, i0, _ = insts[0]
@@ -734,27 +751,77 @@ class StarkMachine:
                 zetas[j] = info["zeta"]
                 cums[j] = np.asarray(cp.cumulative_sum, U64) % np.uint64(bb.P)
 
-            bctx = BatchPointEvalCtx(main_local, main_next, prep_local,
-                                     prep_next, pv, sels_arr)
             cons_vals = self._native_constraint_vals(
                 builder, k, main_local, main_next, prep_local, prep_next,
                 sels_arr, pv)
-            folded = np.zeros((k, 4), U64)
-            if cons_vals is not None:
-                for ci in range(cons_vals.shape[0]):
-                    folded = E_np.eadd(E_np.emul(folded, alphas),
-                                       cons_vals[ci])
+            plan = getattr(builder, "_zeta_plan", "unset")
+            if plan == "unset":
+                from ..logup.affine import build_plan
+                plan = build_plan(builder)
+                builder._zeta_plan = plan
+
+            def vrecombine(cols):
+                """(k, 4m, 4) base-column groups -> (k, m, 4) ext."""
+                g = cols.reshape(k, -1, 4, 4)
+                acc = np.zeros(g.shape[:2] + (4,), U64)
+                for l in range(4):
+                    acc = E_np.eadd(acc, E_np.emul(
+                        g[:, :, l],
+                        np.broadcast_to(np.asarray(xpows[l], U64),
+                                        acc.shape)))
+                return acc
+
+            if cons_vals is not None and plan is not None:
+                # fully vectorized: native VM constraint values + plan-
+                # driven LogUp check, folded by a shared alpha-power table
+                from ..logup.affine import assemble, eval_perm_at_point_plan
+                from ..logup.trace import interaction_batches
+                arrs = assemble(plan, pv, info0["r"], info0["gamma"],
+                                pad_d_one=True, raw=True)
+                n_base = len(builder.constraints)
+                nb = len(interaction_batches(builder))
+                n_total = n_base + nb + 3
+                # X = [main | prep | sels] ext values at zeta
+                xparts = [main_local]
+                if prep_local is not None:
+                    xparts.append(prep_local)
+                xparts.append(np.stack([sels_arr["first"],
+                                        sels_arr["last"],
+                                        sels_arr["transition"]], axis=1))
+                X = np.concatenate(xparts, axis=1)
+                pblock = vrecombine(perm_local[:, :4 * (nb + 1)])
+                pblock_n = vrecombine(perm_next[:, :4 * (nb + 1)])
+                pvals = eval_perm_at_point_plan(
+                    plan, arrs, X, pblock[:, :nb], pblock_n[:, :nb],
+                    pblock[:, nb], pblock_n[:, nb], cums, sels_arr)
+                all_vals = np.concatenate(
+                    [np.transpose(cons_vals, (1, 0, 2)), pvals], axis=1)
+                # alpha powers per instance, highest power first
+                pw = alpha_pow_table(
+                    tuple(id(info) for info, _, _ in insts), alphas,
+                    n_total, k)
+                wts = np.transpose(pw[n_total - 1::-1], (1, 0, 2))
+                terms = E_np.emul(all_vals, wts)
+                folded = terms.astype(U64).sum(axis=1) % np.uint64(bb.P)
             else:
-                for c in builder.constraints:
-                    folded = E_np.eadd(E_np.emul(folded, alphas),
-                                       bctx.eval(c))
-            # r/gamma are sampled before any shard-specific absorption and
-            # are identical across shards (prover and verifier both fork
-            # the challenger after the all-shard main-root absorb)
-            for cval in eval_perm_at_point_batch(
-                    builder, bctx, perm_local, perm_next, info0["r"],
-                    info0["gamma"], cums):
-                folded = E_np.eadd(E_np.emul(folded, alphas), cval)
+                bctx = BatchPointEvalCtx(main_local, main_next, prep_local,
+                                         prep_next, pv, sels_arr)
+                folded = np.zeros((k, 4), U64)
+                if cons_vals is not None:
+                    for ci in range(cons_vals.shape[0]):
+                        folded = E_np.eadd(E_np.emul(folded, alphas),
+                                           cons_vals[ci])
+                else:
+                    for c in builder.constraints:
+                        folded = E_np.eadd(E_np.emul(folded, alphas),
+                                           bctx.eval(c))
+                # r/gamma are sampled before any shard-specific absorption
+                # and are identical across shards (prover and verifier both
+                # fork the challenger after the all-shard main-root absorb)
+                for cval in eval_perm_at_point_batch(
+                        builder, bctx, perm_local, perm_next, info0["r"],
+                        info0["gamma"], cums):
+                    folded = E_np.eadd(E_np.emul(folded, alphas), cval)
 
             def recombine(cols):                 # (k, 4, 4) -> (k, 4)
                 acc = np.zeros((k, 4), U64)
