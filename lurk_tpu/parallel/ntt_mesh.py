@@ -117,3 +117,32 @@ def mesh_intt(mesh: Mesh, x, axis: str = "shard"):
     out = mesh_ntt(mesh, x, inverse=True, axis=axis)
     n_inv = bb.inv_s(x.shape[0] % bb.P)
     return bb.mont_mul(out, jnp.uint32((n_inv * bb.R_MOD_P) % bb.P))
+
+
+def mesh_lde(mesh: Mesh, mat, log_blowup: int = 1, axis: str = "shard"):
+    """Row-sharded coset LDE: (h, w) trace evals -> (coeffs (h, w),
+    lde (h << log_blowup, w)), both row-sharded jax.Arrays.
+
+    Bit-exact vs the single-device prover's _lde_kernel (same intt / 1-n
+    scale / shift-powers multiply / forward NTT): this is the in-prover
+    integration point for traces whose LDE exceeds one device's memory
+    (SURVEY.md sections 2.11 and 5.8 - the all-to-all NTT rides ICI;
+    wired in by stark/device_prover.dcommit under LURK_TPU_MESH_COMMIT).
+    """
+    from ..field.ntt import GENERATOR, _shift_powers
+
+    h, w = int(mat.shape[0]), int(mat.shape[1])
+    log_h = h.bit_length() - 1
+    assert 1 << log_h == h
+    big = h << log_blowup
+    coeffs = mesh_intt(mesh, mat, axis=axis)
+    sharding = NamedSharding(mesh, jax.sharding.PartitionSpec(axis, None))
+    padded = jnp.concatenate(
+        [coeffs, jnp.zeros((big - h, w), jnp.uint32)], axis=0)
+    padded = jax.device_put(padded, sharding)
+    sp = jax.device_put(
+        jnp.asarray(_shift_powers(log_h + log_blowup, GENERATOR)),
+        NamedSharding(mesh, jax.sharding.PartitionSpec(axis)))
+    scaled = bb.mont_mul(padded, sp[:, None])
+    lde = mesh_ntt(mesh, scaled, axis=axis)
+    return coeffs, lde

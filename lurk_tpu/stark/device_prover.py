@@ -401,6 +401,27 @@ def _lde_kernel(group, intt_tables, ntt_tables, sp, log_h: int):
     return coeffs, lde
 
 
+def _mesh_commit_cfg():
+    """(mesh, per-device cell budget) when LURK_TPU_MESH_COMMIT enables
+    row-sharded commits; (None, 0) otherwise. A trace group whose LDE
+    exceeds the budget gets its NTTs computed with the four-step
+    all-to-all mesh kernel (parallel/ntt_mesh.mesh_lde): one device's
+    memory no longer bounds the committable trace height (SURVEY.md
+    sections 2.11 / 5.8; the reference handles arbitrary heights in one
+    address space - src/lair/execute.rs:186-241)."""
+    import os
+    val = os.environ.get("LURK_TPU_MESH_COMMIT", "0")
+    if val == "0":
+        return None, 0
+    import jax as _jax
+    if len(_jax.devices()) < 2:
+        return None, 0
+    from ..parallel.mesh import make_mesh
+    budget = int(os.environ.get("LURK_TPU_MESH_COMMIT_CELLS",
+                                str(1 << 28)))
+    return make_mesh(), budget
+
+
 def dcommit(matrices: list, finalize: bool = True) -> DRound:
     """matrices: device or host (h, w) canonical uint32/uint64 arrays.
 
@@ -413,6 +434,7 @@ def dcommit(matrices: list, finalize: bool = True) -> DRound:
             else jnp.asarray(m, U32) for m in matrices]
     trace_lhs = [_log2(int(m.shape[0])) for m in mats]
     groups = host_pcs._group_by_height(trace_lhs)
+    mesh, mesh_budget = _mesh_commit_cfg()
     ldes: list = [None] * len(mats)
     coeffs: list = [None] * len(mats)
     trees = []
@@ -421,9 +443,16 @@ def dcommit(matrices: list, finalize: bool = True) -> DRound:
         group = jnp.concatenate([mats[i] for i in idxs], axis=1) \
             if len(idxs) > 1 else mats[idxs[0]]
         big_log = log_h + LOG_BLOWUP
-        cfs, group_lde = _lde_kernel(
-            group, cg_tables_dev(log_h, True), cg_tables_dev(big_log, False),
-            jnp.asarray(_shift_powers(big_log, GENERATOR)), log_h)
+        group_cells = (1 << big_log) * int(group.shape[1])
+        if mesh is not None and group_cells > mesh_budget and \
+                (1 << log_h) >= mesh.devices.size ** 2:
+            from ..parallel.ntt_mesh import mesh_lde
+            cfs, group_lde = mesh_lde(mesh, group, LOG_BLOWUP)
+        else:
+            cfs, group_lde = _lde_kernel(
+                group, cg_tables_dev(log_h, True),
+                cg_tables_dev(big_log, False),
+                jnp.asarray(_shift_powers(big_log, GENERATOR)), log_h)
         off = 0
         group_ldes = []
         for i in idxs:
@@ -1865,15 +1894,29 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
     challenger.observe_many(pv)
 
     # Pass 1: commit every shard's main traces and absorb the roots (the
-    # transcript requires all main commitments before any challenge), but
-    # FREE each shard's device-resident round immediately - holding every
-    # shard's mats+coeffs+LDEs+tree at once scales device memory with the
-    # TOTAL trace, defeating sharding (fib-100000 OOM'd a 16GB v5e).
-    # Single-shard proves keep the round and skip the pass-2 recommit.
+    # transcript requires all main commitments before any challenge).
+    # Holding every shard's mats+coeffs+LDEs+tree at once scales device
+    # memory with the TOTAL trace, so when the estimate exceeds the
+    # budget each round is FREED and deterministically recommitted in
+    # pass 2 (fib-100000 OOM'd a 16GB v5e in round 2). Small-enough
+    # proofs keep the rounds and skip the recommit entirely - the
+    # recommit was ~15-30%% of the steady-state multi-shard prove.
+    est_bytes = 0
+    for shard in shards:
+        for c in machine.chips:
+            if chip_included(c, shard):
+                rows = c.num_rows(shard)
+                pow2 = 1 << max((rows - 1).bit_length(), 2)
+                # trace + coeffs + 2x LDE (the tree leaf concat IS the
+                # group LDE), all uint32
+                est_bytes += pow2 * c.width * 4 * 4
+    keep_bytes = int(_os.environ.get("LURK_TPU_COMMIT_KEEP_BYTES",
+                                     str(6 << 30)))
+    keep_rounds = len(shards) == 1 or est_bytes <= keep_bytes
     shard_chip_lists = []
     shard_roots = []
-    single_round = None
-    shard_pendings = []   # multi-shard: per-shard deferred root buffers
+    kept_rounds = []      # per-shard DRound when keep_rounds
+    shard_pendings = []   # else: per-shard deferred root buffers
     for shard in shards:
         t0 = _time.perf_counter()
         chips = [c for c in machine.chips if chip_included(c, shard)]
@@ -1888,25 +1931,25 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
             mats_dev.append(jnp.asarray(t.astype(np.uint32)))
         t0 = _tlog(f"shard{shard.index} witness+upload", t0)
         shard_chip_lists.append((chips, traces_np))
-        if len(shards) == 1:
-            main_round = dcommit(mats_dev)
-            t0 = _tlog(f"shard{shard.index} main dcommit", t0)
-            shard_roots.append(main_round.roots)
-            for root in main_round.roots:
-                challenger.observe_many(root)
-            single_round = main_round
-            del main_round
+        rnd = dcommit(mats_dev, finalize=False)
+        if keep_rounds:
+            kept_rounds.append(rnd)
         else:
             # defer every root download: the round's big device buffers
             # are dropped right away (memory stays bounded by one shard);
             # only the tiny pending top-level buffers survive the loop,
             # and ALL shards' roots ride one transfer below
-            rnd = dcommit(mats_dev, finalize=False)
             shard_pendings.append([t.pending for _, t in rnd.trees])
-            t0 = _tlog(f"shard{shard.index} main dcommit (deferred)", t0)
-            del rnd
-    if len(shards) > 1:
-        t0 = _time.perf_counter()
+        t0 = _tlog(f"shard{shard.index} main dcommit (deferred)", t0)
+        del rnd
+    t0 = _time.perf_counter()
+    if keep_rounds:
+        finalize_dtrees([t for rnd in kept_rounds for _, t in rnd.trees])
+        for rnd in kept_rounds:
+            shard_roots.append(rnd.roots)
+            for root in rnd.roots:
+                challenger.observe_many(root)
+    else:
         flat = [p for sp in shard_pendings for p in sp]
         roots_iter = iter(_roots_from_pendings(flat))
         for sp in shard_pendings:
@@ -1915,14 +1958,14 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
             for root in roots:
                 challenger.observe_many(root)
         del shard_pendings
-        _tlog("all-shard root transfer", t0)
+    _tlog("all-shard root transfer", t0)
 
     shard_proofs = []
-    for shard, (chips, traces_np), roots in zip(
-            shards, shard_chip_lists, shard_roots):
+    for si, (shard, (chips, traces_np), roots) in enumerate(zip(
+            shards, shard_chip_lists, shard_roots)):
         t0 = _time.perf_counter()
-        if single_round is not None:
-            main_round = single_round
+        if keep_rounds:
+            main_round = kept_rounds[si]
         else:
             # recommit (deterministic): trades one extra commit per shard
             # for device memory bounded by a single shard
@@ -1935,6 +1978,8 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
             machine, pk, prep_round, prep_names, shard, chips, traces_np,
             main_round, pv, pv_dev, ch))
         _tlog(f"shard{shard.index} prove_shard total", t0)
+        if keep_rounds:
+            kept_rounds[si] = None        # fully consumed: free its trees
         del main_round
     return MachineProof(shard_proofs, list(pv))
 
