@@ -261,9 +261,41 @@ class Repl:
             code = rest
             self._process_syntax(syn, path.parent)
 
+    def _init_line_editor(self):
+        """Wire GNU readline: arrow keys / line editing, persistent history
+        at repl_history_path(), and vi editing mode when $EDITOR looks
+        vi-like (reference: src/core/cli/repl.rs:642-650 - rustyline with
+        vi mode + ~/.lurk/repl-history). Returns a save callback (no-op
+        when readline is unavailable, e.g. non-tty embedders)."""
+        try:
+            import readline
+        except ImportError:
+            return lambda: None
+        import os
+        editor = os.environ.get("EDITOR", "")
+        if any(v in editor for v in ("vi", "vim", "nvim")):
+            readline.parse_and_bind("set editing-mode vi")
+        hist = cli_data.repl_history_path()
+        try:
+            hist.parent.mkdir(parents=True, exist_ok=True)
+            if hist.exists():
+                readline.read_history_file(str(hist))
+        except OSError:
+            pass
+        readline.set_history_length(10000)
+
+        def save():
+            try:
+                readline.write_history_file(str(hist))
+            except OSError:
+                pass
+
+        return save
+
     def run(self):
         """Interactive loop."""
         print("Lurk TPU REPL - :q or Ctrl-D to exit")
+        save_history = self._init_line_editor()
         buffer = ""
         while True:
             try:
@@ -274,6 +306,8 @@ class Repl:
                 break
             if line.strip() in (":q", ":quit"):
                 break
+            if line.strip() and not buffer:
+                save_history()  # survive crashes/kills, like rustyline
             buffer += line + "\n"
             if not _balanced(buffer):
                 continue
@@ -291,6 +325,7 @@ class Repl:
                 # return to the prompt, like the reference's rustyline loop
                 print(f"Error: {e}")
             buffer = ""
+        save_history()
 
 
 def _balanced(code: str) -> bool:

@@ -190,3 +190,28 @@ def test_rand_secret_in_field(repl):
     for _ in range(4):
         d = random_field_digest()
         assert len(d) == 8 and all(0 <= x < P for x in d)
+
+
+def test_repl_history_persists(repl, monkeypatch):
+    """_init_line_editor loads/saves the persistent history file at
+    repl_history_path() (reference: repl.rs:642-650, ~/.lurk/repl-history)."""
+    readline = pytest.importorskip("readline")
+    from lurk_tpu.cli.data import repl_history_path
+
+    monkeypatch.delenv("EDITOR", raising=False)
+    readline.clear_history()
+    save = repl._init_line_editor()
+    readline.add_history("(+ 1 2)")
+    readline.add_history("!(prove)")
+    save()
+    hist = repl_history_path()
+    assert hist.exists()
+    text = hist.read_text()
+    assert "(+ 1 2)" in text and "!(prove)" in text
+
+    # a fresh editor init reloads the entries
+    readline.clear_history()
+    repl._init_line_editor()
+    n = readline.get_current_history_length()
+    items = [readline.get_history_item(i + 1) for i in range(n)]
+    assert "(+ 1 2)" in items and "!(prove)" in items
