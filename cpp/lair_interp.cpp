@@ -246,6 +246,110 @@ void poseidon2(const PoseidonCfg& cfg, u32* s) {
 }
 
 // ---------------------------------------------------------------------------
+// Poseidon2, 8 states at a time (AVX-512 Montgomery lanes)
+//
+// Identical mod-p math to the scalar path - values are carried in
+// Montgomery form (an exact bijection) through the rounds, so canonical
+// outputs are bit-identical. ~10-20x the scalar throughput; guarded so
+// non-AVX512 builds keep the scalar path.
+// ---------------------------------------------------------------------------
+
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+#define LAIR_P2_AVX512 1
+#include <immintrin.h>
+
+namespace p2v {
+
+constexpr u64 PINV32 = 0x77ffffffull;   // -P^-1 mod 2^32
+constexpr u64 R2 = 0x45dddde3ull;       // 2^64 mod P
+
+inline __m512i vset(u64 x) { return _mm512_set1_epi64((long long)x); }
+
+inline __m512i mont_mul(__m512i a, __m512i b) {
+  const __m512i vp = vset(P), m32 = vset(0xffffffffull),
+                vpinv = vset(PINV32);
+  __m512i t = _mm512_mullo_epi64(a, b);           // < 2^62 (a, b < P)
+  __m512i m = _mm512_and_epi64(
+      _mm512_mullo_epi64(_mm512_and_epi64(t, m32), vpinv), m32);
+  __m512i u = _mm512_srli_epi64(
+      _mm512_add_epi64(t, _mm512_mullo_epi64(m, vp)), 32);
+  __mmask8 ge = _mm512_cmpge_epu64_mask(u, vp);
+  return _mm512_mask_sub_epi64(u, ge, u, vp);
+}
+
+inline __m512i addm(__m512i a, __m512i b) {
+  const __m512i vp = vset(P);
+  __m512i s = _mm512_add_epi64(a, b);
+  __mmask8 ge = _mm512_cmpge_epu64_mask(s, vp);
+  return _mm512_mask_sub_epi64(s, ge, s, vp);
+}
+
+inline __m512i sbox7(__m512i x) {
+  __m512i x2 = mont_mul(x, x);
+  __m512i x3 = mont_mul(x2, x);
+  return mont_mul(mont_mul(x3, x3), x);
+}
+
+inline u64 to_mont_s(u64 x) { return (x << 32) % P; }
+
+// PoseidonCfg with all constants pre-converted to Montgomery form.
+struct CfgMont {
+  u32 width, r_f, r_p;
+  std::vector<u64> full_rc, part_rc, diag;
+  explicit CfgMont(const PoseidonCfg& c)
+      : width(c.width), r_f(c.r_f), r_p(c.r_p) {
+    for (u32 x : c.full_rc) full_rc.push_back(to_mont_s(x));
+    for (u32 x : c.part_rc) part_rc.push_back(to_mont_s(x));
+    for (u32 x : c.diag) diag.push_back(to_mont_s(x));
+  }
+};
+
+inline void ext_layer_v(__m512i* s, u32 w) {
+  for (u32 c = 0; c < w; c += 4) {
+    __m512i x0 = s[c], x1 = s[c + 1], x2 = s[c + 2], x3 = s[c + 3];
+    __m512i t01 = addm(x0, x1), t23 = addm(x2, x3);
+    __m512i t0123 = addm(t01, t23);
+    __m512i t01123 = addm(t0123, x1), t01233 = addm(t0123, x3);
+    s[c + 3] = addm(t01233, addm(x0, x0));
+    s[c + 1] = addm(t01123, addm(x2, x2));
+    s[c] = addm(t01123, t01);
+    s[c + 2] = addm(t01233, t23);
+  }
+  __m512i sums[4];
+  for (u32 k = 0; k < 4; k++) {
+    sums[k] = s[k];
+    for (u32 c = k + 4; c < w; c += 4) sums[k] = addm(sums[k], s[c]);
+  }
+  for (u32 i = 0; i < w; i++) s[i] = addm(s[i], sums[i & 3]);
+}
+
+// permute 8 states held as w column vectors (Montgomery domain, in place)
+inline void perm8(const CfgMont& cfg, __m512i* s) {
+  u32 w = cfg.width;
+  ext_layer_v(s, w);
+  for (u32 r = 0; r < cfg.r_f / 2; r++) {
+    for (u32 i = 0; i < w; i++)
+      s[i] = sbox7(addm(s[i], vset(cfg.full_rc[r * w + i])));
+    ext_layer_v(s, w);
+  }
+  for (u32 r = 0; r < cfg.r_p; r++) {
+    s[0] = sbox7(addm(s[0], vset(cfg.part_rc[r])));
+    __m512i sum = s[0];
+    for (u32 i = 1; i < w; i++) sum = addm(sum, s[i]);
+    for (u32 i = 0; i < w; i++)
+      s[i] = addm(mont_mul(s[i], vset(cfg.diag[i])), sum);
+  }
+  for (u32 r = cfg.r_f / 2; r < cfg.r_f; r++) {
+    for (u32 i = 0; i < w; i++)
+      s[i] = sbox7(addm(s[i], vset(cfg.full_rc[r * w + i])));
+    ext_layer_v(s, w);
+  }
+}
+
+}  // namespace p2v
+#endif  // AVX512
+
+// ---------------------------------------------------------------------------
 // interpreter state
 // ---------------------------------------------------------------------------
 
@@ -1254,6 +1358,49 @@ void lair_hash_rows(const u32* consts, u64 consts_len, const u64* mat,
   for (auto& x : cfg.part_rc) x = pr.next();
   cfg.diag.resize(cfg.width);
   for (auto& x : cfg.diag) x = pr.next();
+#ifdef LAIR_P2_AVX512
+  p2v::CfgMont mcfg(cfg);
+  parallel_for(n, 64, [&, n, w](u64 lo, u64 hi) {
+    const u32 W = cfg.width;
+    __m512i s[48];                 // max config width; stack = aligned
+    alignas(64) u64 tmp[8];
+    const __m512i r2 = p2v::vset(p2v::R2), one = p2v::vset(1);
+    u64 r = lo;
+    for (; r + 8 <= hi && w; r += 8) {
+      for (u32 c = 0; c < W; c++) s[c] = _mm512_setzero_si512();
+      for (u64 c = 0; c < w; c += 8) {
+        for (u64 j = 0; j < 8; j++) {
+          if (c + j < w) {
+            for (u32 q = 0; q < 8; q++)
+              tmp[q] = mat[(r + q) * w + c + j] % P;
+            s[j] = p2v::mont_mul(_mm512_load_si512(tmp), r2);
+          } else {
+            s[j] = _mm512_setzero_si512();
+          }
+        }
+        p2v::perm8(mcfg, s);
+      }
+      for (u32 j = 0; j < 8; j++) {
+        _mm512_store_si512(tmp, p2v::mont_mul(s[j], one));
+        for (u32 q = 0; q < 8; q++) out[(r + q) * 8 + j] = (u32)tmp[q];
+      }
+    }
+    std::vector<u32> sc(cfg.width);
+    for (; r < hi; r++) {
+      std::fill(sc.begin(), sc.end(), 0);
+      if (w == 0) {
+        poseidon2(cfg, sc.data());
+      } else {
+        for (u64 c = 0; c < w; c += 8) {
+          for (u64 j = 0; j < 8; j++)
+            sc[j] = c + j < w ? (u32)(mat[r * w + c + j] % P) : 0;
+          poseidon2(cfg, sc.data());
+        }
+      }
+      for (int j = 0; j < 8; j++) out[r * 8 + j] = sc[j];
+    }
+  });
+#else
   parallel_for(n, 64, [&, n, w](u64 lo, u64 hi) {
     std::vector<u32> s(cfg.width);
     for (u64 r = lo; r < hi; r++) {
@@ -1270,6 +1417,7 @@ void lair_hash_rows(const u32* consts, u64 consts_len, const u64* mat,
       for (int j = 0; j < 8; j++) out[r * 8 + j] = s[j];
     }
   });
+#endif
 }
 
 // In-place radix-2 DIT NTT stages over a (n, w) row-major matrix whose rows
@@ -1333,6 +1481,32 @@ void lair_poseidon_batch(const u32* consts, u64 consts_len, const u32* input,
   for (auto& x : cfg.diag) x = pr.next();
 
   u32 w = cfg.width;
+#ifdef LAIR_P2_AVX512
+  p2v::CfgMont mcfg(cfg);
+  auto run = [&](u64 lo, u64 hi) {
+    __m512i s[48];                 // max config width; stack = aligned
+    alignas(64) u64 tmp[8];
+    u64 i = lo;
+    const __m512i r2 = p2v::vset(p2v::R2), one = p2v::vset(1);
+    for (; i + 8 <= hi; i += 8) {
+      for (u32 c = 0; c < w; c++) {
+        for (u32 r = 0; r < 8; r++) tmp[r] = input[(i + r) * w + c];
+        s[c] = p2v::mont_mul(_mm512_load_si512(tmp), r2);
+      }
+      p2v::perm8(mcfg, s);
+      for (u32 c = 0; c < w; c++) {
+        _mm512_store_si512(tmp, p2v::mont_mul(s[c], one));
+        for (u32 r = 0; r < 8; r++) output[(i + r) * w + c] = (u32)tmp[r];
+      }
+    }
+    std::vector<u32> sc(w);
+    for (; i < hi; i++) {
+      std::copy(input + i * w, input + (i + 1) * w, sc.begin());
+      poseidon2(cfg, sc.data());
+      std::copy(sc.begin(), sc.end(), output + i * w);
+    }
+  };
+#else
   auto run = [&](u64 lo, u64 hi) {
     std::vector<u32> s(w);
     for (u64 i = lo; i < hi; i++) {
@@ -1341,6 +1515,7 @@ void lair_poseidon_batch(const u32* consts, u64 consts_len, const u32* input,
       std::copy(s.begin(), s.end(), output + i * w);
     }
   };
+#endif
   u64 nthreads = std::min<u64>(std::thread::hardware_concurrency(), 8);
   if (nthreads <= 1 || n < 256) {
     run(0, n);
@@ -1434,6 +1609,263 @@ void lair_vm_eval_ext(const int32_t* ops, u64 n_ops, u64* buf, u64 ncols,
         break;
     }
   }
+}
+
+}  // extern "C"
+
+// --- degree-4 extension helpers (F_p[x]/(x^4 - 11), canonical u64) -------
+
+namespace ext4 {
+
+inline void mul(const u64* a, const u64* b, u64* o) {
+  constexpr u64 W = 11;
+  u64 c[7] = {0, 0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; i++)
+    for (int j = 0; j < 4; j++)
+      c[i + j] += a[i] * b[j] % P;     // each term < P^2 pre-mod; sum < 2^33
+  for (int i = 0; i < 3; i++) o[i] = (c[i] + W * (c[i + 4] % P)) % P;
+  o[3] = c[3] % P;
+}
+
+inline void scale(const u64* a, u64 s, u64* o) {
+  for (int i = 0; i < 4; i++) o[i] = a[i] * s % P;
+}
+
+inline u64 inv_base(u64 x) {           // Fermat x^(P-2)
+  u64 r = 1, b = x % P, e = P - 2;
+  while (e) {
+    if (e & 1) r = r * b % P;
+    b = b * b % P;
+    e >>= 1;
+  }
+  return r;
+}
+
+// inverse via Frobenius conjugates: b = a^p * a^(p^2) * a^(p^3) (each a
+// diagonal scale by frob[k]), a^-1 = b / N(a) with N(a) = (a*b)[0] in F_p.
+// frob: (3, 4) scales for k = 1, 2, 3 (passed from field/ext.py so the
+// constant lives in one place).
+inline void inv(const u64* a, const u64* frob, u64* o) {
+  u64 a1[4], a2[4], a3[4], b[4], n[4];
+  for (int i = 0; i < 4; i++) {
+    a1[i] = a[i] * frob[i] % P;
+    a2[i] = a[i] * frob[4 + i] % P;
+    a3[i] = a[i] * frob[8 + i] % P;
+  }
+  ext4::mul(a2, a3, b);
+  ext4::mul(a1, b, b);
+  ext4::mul(a, b, n);
+  u64 ninv = inv_base(n[0]);
+  for (int i = 0; i < 4; i++) o[i] = b[i] * ninv % P;
+}
+
+}  // namespace ext4
+
+extern "C" {
+
+// LogUp fingerprint/multiplicity row kernel from an affine interaction
+// plan in CSR form (lurk_tpu/logup/affine.py), threaded over row blocks.
+//   X (h, wx) u64 canonical columns [main | prep | first | last | trans]
+//   dconst (nI, 4); term_off (nI+1) i32 into term_col (T) / term_w (T, 4)
+//   mconst (nI) u64 (sign folded in); mt_off/mt_col/mt_w likewise
+//   frob (3, 4) Frobenius scales (mode 0 only)
+// mode 0 (perm trace):   out (h, nb*4), nb = (nI+1)/2:
+//   phi_b = inv(d_{2b}) * m_{2b} + inv(d_{2b+1}) * m_{2b+1}
+// mode 1 (quotient):     phi_in (h, nb*4) read, out (h, nb*4):
+//   out_b = phi_b * d0 * d1 - (m0 * d1 + m1 * d0); an odd tail uses the
+//   unit partner d1 = 1, m1 = 0 (the DAG path's singleton batch).
+// Bit-exact vs the per-interaction numpy walk: every op is the same
+// exact mod-p operation, and values are association-free.
+void lair_logup_rows(const u64* X, u64 h, u64 wx, u64 n_inter,
+                     const u64* dconst, const int32_t* term_off,
+                     const int32_t* term_col, const u64* term_w,
+                     const u64* mconst, const int32_t* mt_off,
+                     const int32_t* mt_col, const u64* mt_w,
+                     const u64* frob, const u64* phi_in, int32_t mode,
+                     u64* out) {
+  const u64 nI = n_inter;
+  const u64 nb = (nI + 1) / 2;
+  parallel_for(h, 256, [&](u64 lo, u64 hi) {
+    std::vector<u64> d(nI * 4), m(nI), pre(nI * 4), inv_d(nI * 4);
+    for (u64 r = lo; r < hi; r++) {
+      const u64* xr = X + r * wx;
+      for (u64 i = 0; i < nI; i++) {
+        u64* di = &d[i * 4];
+        for (int l = 0; l < 4; l++) di[l] = dconst[i * 4 + l];
+        for (int32_t t = term_off[i]; t < term_off[i + 1]; t++) {
+          u64 xv = xr[term_col[t]];
+          const u64* w4 = term_w + (u64)t * 4;
+          for (int l = 0; l < 4; l++)
+            di[l] = (di[l] + w4[l] * xv) % P;
+        }
+        u64 mv = mconst[i];
+        for (int32_t t = mt_off[i]; t < mt_off[i + 1]; t++)
+          mv = (mv + mt_w[t] * xr[mt_col[t]]) % P;
+        m[i] = mv;
+      }
+      u64* orow = out + r * nb * 4;
+      if (mode == 0) {
+        // batched inversion of all nI fingerprints (Montgomery trick)
+        for (int l = 0; l < 4; l++) pre[l] = d[l];
+        for (u64 i = 1; i < nI; i++)
+          ext4::mul(&pre[(i - 1) * 4], &d[i * 4], &pre[i * 4]);
+        u64 t4[4];
+        ext4::inv(&pre[(nI - 1) * 4], frob, t4);
+        for (u64 i = nI; i-- > 1;) {
+          ext4::mul(t4, &pre[(i - 1) * 4], &inv_d[i * 4]);
+          ext4::mul(t4, &d[i * 4], t4);
+        }
+        for (int l = 0; l < 4; l++) inv_d[l] = t4[l];
+        for (u64 b = 0; b < nb; b++) {
+          u64 acc[4];
+          ext4::scale(&inv_d[(2 * b) * 4], m[2 * b], acc);
+          if (2 * b + 1 < nI) {
+            u64 c2[4];
+            ext4::scale(&inv_d[(2 * b + 1) * 4], m[2 * b + 1], c2);
+            for (int l = 0; l < 4; l++) acc[l] = (acc[l] + c2[l]) % P;
+          }
+          for (int l = 0; l < 4; l++) orow[b * 4 + l] = acc[l];
+        }
+      } else {
+        const u64* prow = phi_in + r * nb * 4;
+        for (u64 b = 0; b < nb; b++) {
+          const u64* d0 = &d[(2 * b) * 4];
+          u64 lhs[4], rhs[4], t0[4];
+          ext4::mul(prow + b * 4, d0, lhs);
+          if (2 * b + 1 < nI) {
+            const u64* d1 = &d[(2 * b + 1) * 4];
+            ext4::mul(lhs, d1, lhs);
+            ext4::scale(d1, m[2 * b], rhs);
+            ext4::scale(d0, m[2 * b + 1], t0);
+            for (int l = 0; l < 4; l++) rhs[l] = (rhs[l] + t0[l]) % P;
+          } else {
+            rhs[0] = m[2 * b];
+            rhs[1] = rhs[2] = rhs[3] = 0;
+          }
+          for (int l = 0; l < 4; l++)
+            orow[b * 4 + l] = (lhs[l] + P - rhs[l]) % P;
+        }
+      }
+    }
+  });
+}
+
+// LogUp constraint values AT A POINT for k shard instances of one chip
+// (the verifier's zeta check - machine._batched_zeta_checks). Same CSR
+// plan as lair_logup_rows, but every value is a degree-4 extension
+// element: X (k, wx, 4) opened column values, phi/phi_next (k, nb, 4)
+// recombined batch columns, s_val/s_next/cums and the three selectors
+// (k, 4). out (k, nb+3, 4) in host constraint order
+// (batches..., first, transition, last). Bit-exact vs the numpy
+// eval_perm_at_point_plan path (exact mod-p ops, association-free).
+void lair_logup_point(const u64* X, u64 k, u64 wx, u64 n_inter,
+                      const u64* dconst, const int32_t* term_off,
+                      const int32_t* term_col, const u64* term_w,
+                      const u64* mconst, const int32_t* mt_off,
+                      const int32_t* mt_col, const u64* mt_w,
+                      const u64* phi, const u64* phi_next,
+                      const u64* s_val, const u64* s_next, const u64* cums,
+                      const u64* sel_first, const u64* sel_trans,
+                      const u64* sel_last, u64* out) {
+  const u64 nI = n_inter;
+  const u64 nb = (nI + 1) / 2;
+  std::vector<u64> d(nI * 4), m(nI * 4);
+  for (u64 j = 0; j < k; j++) {
+    const u64* xj = X + j * wx * 4;
+    for (u64 i = 0; i < nI; i++) {
+      u64* di = &d[i * 4];
+      u64* mi = &m[i * 4];
+      for (int l = 0; l < 4; l++) di[l] = dconst[i * 4 + l];
+      for (int32_t t = term_off[i]; t < term_off[i + 1]; t++) {
+        const u64* xv = xj + (u64)term_col[t] * 4;
+        const u64* w4 = term_w + (u64)t * 4;
+        u64 prod[4];
+        ext4::mul(w4, xv, prod);
+        for (int l = 0; l < 4; l++) di[l] = (di[l] + prod[l]) % P;
+      }
+      mi[0] = mconst[i];
+      mi[1] = mi[2] = mi[3] = 0;
+      for (int32_t t = mt_off[i]; t < mt_off[i + 1]; t++) {
+        const u64* xv = xj + (u64)mt_col[t] * 4;
+        for (int l = 0; l < 4; l++)
+          mi[l] = (mi[l] + mt_w[t] * xv[l]) % P;
+      }
+    }
+    const u64* pj = phi + j * nb * 4;
+    const u64* pnj = phi_next + j * nb * 4;
+    u64* oj = out + j * (nb + 3) * 4;
+    for (u64 b = 0; b < nb; b++) {
+      const u64* d0 = &d[(2 * b) * 4];
+      const u64* m0 = &m[(2 * b) * 4];
+      u64 lhs[4], rhs[4], t0[4];
+      ext4::mul(pj + b * 4, d0, lhs);
+      if (2 * b + 1 < nI) {
+        const u64* d1 = &d[(2 * b + 1) * 4];
+        const u64* m1 = &m[(2 * b + 1) * 4];
+        ext4::mul(lhs, d1, lhs);
+        ext4::mul(m0, d1, rhs);
+        ext4::mul(m1, d0, t0);
+        for (int l = 0; l < 4; l++) rhs[l] = (rhs[l] + t0[l]) % P;
+      } else {
+        for (int l = 0; l < 4; l++) rhs[l] = m0[l];
+      }
+      for (int l = 0; l < 4; l++)
+        oj[b * 4 + l] = (lhs[l] + P - rhs[l]) % P;
+    }
+    // running-sum rows: first*(s - sum phi), trans*(s' - s - sum phi'),
+    // last*(s - cum)
+    u64 tp[4] = {0, 0, 0, 0}, tpn[4] = {0, 0, 0, 0};
+    for (u64 b = 0; b < nb; b++)
+      for (int l = 0; l < 4; l++) {
+        tp[l] = (tp[l] + pj[b * 4 + l]) % P;
+        tpn[l] = (tpn[l] + pnj[b * 4 + l]) % P;
+      }
+    u64 v[4];
+    for (int l = 0; l < 4; l++)
+      v[l] = (s_val[j * 4 + l] + P - tp[l]) % P;
+    ext4::mul(sel_first + j * 4, v, oj + nb * 4);
+    for (int l = 0; l < 4; l++)
+      v[l] = ((s_next[j * 4 + l] + P - s_val[j * 4 + l]) + P - tpn[l]) % P;
+    ext4::mul(sel_trans + j * 4, v, oj + (nb + 1) * 4);
+    for (int l = 0; l < 4; l++)
+      v[l] = (s_val[j * 4 + l] + P - cums[j * 4 + l]) % P;
+    ext4::mul(sel_last + j * 4, v, oj + (nb + 2) * 4);
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Constraint-VM evaluation over k BASE-field lanes (the host prover's
+// quotient fold over an LDE domain): same register program / buf layout
+// as lair_vm_eval_ext but each value is one canonical u64 (< P), buf is
+// (C, k). Threaded over lane blocks - the program is row-independent.
+void lair_vm_eval_base(const int32_t* ops, u64 n_ops, u64* buf, u64 ncols,
+                       u64 k) {
+  parallel_for(k, 1 << 12, [&](u64 lo, u64 hi) {
+    for (u64 s = 0; s < n_ops; s++) {
+      const int32_t* op = ops + s * 4;
+      u64* d = buf + (u64)op[1] * k;
+      const u64* x = buf + (u64)op[2] * k;
+      const u64* y = buf + (u64)op[3] * k;
+      switch (op[0]) {
+        case 0:
+          for (u64 i = lo; i < hi; i++) {
+            u64 v = x[i] + y[i];
+            d[i] = v >= P ? v - P : v;
+          }
+          break;
+        case 1:
+          for (u64 i = lo; i < hi; i++)
+            d[i] = x[i] >= y[i] ? x[i] - y[i] : x[i] + P - y[i];
+          break;
+        default:
+          for (u64 i = lo; i < hi; i++) d[i] = x[i] * y[i] % P;
+          break;
+      }
+    }
+  });
 }
 
 }  // extern "C"

@@ -225,8 +225,36 @@ def _ntt_kernel(mat, tables, log_n: int):
 # below this many rows, host numpy beats device dispatch + per-shape
 # compile. Backend-aware: on a CPU-only backend the XLA compile tax bites
 # much deeper, so the crossover sits higher.
-@lru_cache(maxsize=1)
+_HOST_PIN = 0
+
+
+class host_compute:
+    """Context manager pinning NTT/LDE/hashing to the host-native path
+    (numpy / cpp/liblair.so) regardless of the JAX backend. Used by the
+    small-workload host prover: on the tunneled TPU every stray device
+    call costs ~40ms of latency plus a first-use executable load, which
+    dominated small proofs end to end. Bit-exact either way (the native
+    kernels are the device kernels' test oracle). Re-entrant."""
+
+    def __enter__(self):
+        global _HOST_PIN
+        _HOST_PIN += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _HOST_PIN
+        _HOST_PIN -= 1
+        return False
+
+
 def _np_threshold() -> int:
+    if _HOST_PIN:
+        return 1 << 62
+    return _np_threshold_backend()
+
+
+@lru_cache(maxsize=1)
+def _np_threshold_backend() -> int:
     import jax
     try:
         cpu_only = jax.default_backend() == "cpu"
@@ -277,7 +305,11 @@ def ntt(mat, inverse: bool = False):
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
     if n == 1:
-        return jnp.asarray(mat)
+        # keep host arrays on the host: converting a 1-row numpy matrix to
+        # a device array here made every later np.asarray of it a tunnel
+        # round-trip (measured ~15s each on first use - the single biggest
+        # cost of a "host" fib(500) prove on the TPU backend)
+        return mat if isinstance(mat, jnp.ndarray) else np.asarray(mat)
     if not isinstance(mat, jnp.ndarray) and n <= _np_threshold():
         return _ntt_np(np.asarray(mat), inverse, log_n)
     return _ntt_kernel(jnp.asarray(mat), cg_tables_dev(log_n, inverse), log_n)

@@ -457,3 +457,133 @@ def vm_eval_ext(ops: np.ndarray, buf: np.ndarray) -> None:
         ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ops),
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         buf.shape[0], buf.shape[1])
+
+
+@lru_cache(maxsize=1)
+def _logup_rows_fn():
+    lib = _lib()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.lair_logup_rows.restype = None
+    lib.lair_logup_rows.argtypes = [
+        u64p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        u64p, i32p, i32p, u64p, u64p, i32p, i32p, u64p,
+        u64p, u64p, ctypes.c_int32, u64p]
+    return lib.lair_logup_rows
+
+
+@lru_cache(maxsize=1)
+def _frob_scales() -> np.ndarray:
+    """(3, 4) Frobenius diagonal scales for the native ext inversion."""
+    from ..field.ext import _FROB_C
+    from ..field.babybear import P
+    return np.asarray([[pow(_FROB_C, (i * k) % 4, P) for i in range(4)]
+                       for k in (1, 2, 3)], np.uint64)
+
+
+def logup_rows(X: np.ndarray, csr: dict, mode: int,
+               phi_in: np.ndarray = None) -> np.ndarray:
+    """Native LogUp row kernel over an affine-plan CSR (logup/affine.py
+    assemble_csr). X (h, wx) u64 canonical. mode 0: returns the (h, nb*4)
+    phi batch columns of the permutation trace. mode 1: phi_in (h, nb*4)
+    LDE values in, returns the (h, nb*4) batch quotient values."""
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    h, wx = X.shape
+    n = len(csr["mconst"])
+    nb = (n + 1) // 2
+    assert X.dtype == np.uint64 and X.flags.c_contiguous
+    out = np.empty((h, nb * 4), np.uint64)
+    if mode == 1:
+        assert phi_in is not None and phi_in.dtype == np.uint64 and \
+            phi_in.shape == (h, nb * 4) and phi_in.flags.c_contiguous
+        phi_ptr = phi_in.ctypes.data_as(u64p)
+    else:
+        phi_ptr = None
+    frob = _frob_scales()
+    _logup_rows_fn()(
+        X.ctypes.data_as(u64p), h, wx, n,
+        csr["dconst"].ctypes.data_as(u64p),
+        csr["term_off"].ctypes.data_as(i32p),
+        csr["term_col"].ctypes.data_as(i32p),
+        csr["term_w"].ctypes.data_as(u64p),
+        csr["mconst"].ctypes.data_as(u64p),
+        csr["mt_off"].ctypes.data_as(i32p),
+        csr["mt_col"].ctypes.data_as(i32p),
+        csr["mt_w"].ctypes.data_as(u64p),
+        frob.ctypes.data_as(u64p), phi_ptr, mode,
+        out.ctypes.data_as(u64p))
+    return out
+
+
+@lru_cache(maxsize=1)
+def _logup_point_fn():
+    lib = _lib()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.lair_logup_point.restype = None
+    lib.lair_logup_point.argtypes = [
+        u64p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        u64p, i32p, i32p, u64p, u64p, i32p, i32p, u64p,
+        u64p, u64p, u64p, u64p, u64p, u64p, u64p, u64p, u64p]
+    return lib.lair_logup_point
+
+
+def logup_point(X: np.ndarray, csr: dict, phi: np.ndarray,
+                phi_next: np.ndarray, s_val: np.ndarray,
+                s_next: np.ndarray, cums: np.ndarray,
+                sels: dict) -> np.ndarray:
+    """Native LogUp zeta-point check for k shard instances of one chip:
+    X (k, wx, 4) ext column values, phi/phi_next (k, nb, 4), s/cums/sels
+    (k, 4). Returns (k, nb+3, 4) constraint values in host order."""
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    k, wx = X.shape[0], X.shape[1]
+    n = len(csr["mconst"])
+    nb = (n + 1) // 2
+    out = np.empty((k, nb + 3, 4), np.uint64)
+    arrs = [np.ascontiguousarray(a, np.uint64) for a in
+            (X, phi, phi_next, s_val, s_next, cums,
+             sels["first"], sels["transition"], sels["last"])]
+    _logup_point_fn()(
+        arrs[0].ctypes.data_as(u64p), k, wx, n,
+        csr["dconst"].ctypes.data_as(u64p),
+        csr["term_off"].ctypes.data_as(i32p),
+        csr["term_col"].ctypes.data_as(i32p),
+        csr["term_w"].ctypes.data_as(u64p),
+        csr["mconst"].ctypes.data_as(u64p),
+        csr["mt_off"].ctypes.data_as(i32p),
+        csr["mt_col"].ctypes.data_as(i32p),
+        csr["mt_w"].ctypes.data_as(u64p),
+        arrs[1].ctypes.data_as(u64p), arrs[2].ctypes.data_as(u64p),
+        arrs[3].ctypes.data_as(u64p), arrs[4].ctypes.data_as(u64p),
+        arrs[5].ctypes.data_as(u64p), arrs[6].ctypes.data_as(u64p),
+        arrs[7].ctypes.data_as(u64p), arrs[8].ctypes.data_as(u64p),
+        out.ctypes.data_as(u64p))
+    return out
+
+
+@lru_cache(maxsize=1)
+def _vm_eval_base_fn():
+    lib = _lib()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.lair_vm_eval_base.restype = None
+    lib.lair_vm_eval_base.argtypes = [i32p, ctypes.c_uint64, u64p,
+                                      ctypes.c_uint64, ctypes.c_uint64]
+    return lib.lair_vm_eval_base
+
+
+def vm_eval_base(ops: np.ndarray, buf: np.ndarray) -> None:
+    """Run a constraint-VM program over k base-field lanes IN PLACE
+    (threaded over lanes): buf (ncols, k) u64 canonical, same column
+    layout as vm_eval_ext. The host prover's quotient fold uses this to
+    evaluate a chip's whole constraint set over an LDE domain in one
+    native pass instead of a per-node numpy DAG walk."""
+    assert ops.dtype == np.int32 and ops.ndim == 2 and ops.shape[1] == 4
+    assert buf.dtype == np.uint64 and buf.ndim == 2
+    assert ops.flags.c_contiguous and buf.flags.c_contiguous
+    _vm_eval_base_fn()(
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ops),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        buf.shape[0], buf.shape[1])

@@ -203,6 +203,15 @@ def build_plan(builder: SymbolicBuilder) -> Optional[InteractionPlan]:
                                         default=0))
 
 
+def plan_cached(builder: SymbolicBuilder) -> Optional[InteractionPlan]:
+    """build_plan memoized on the builder (None is cached too)."""
+    plan = getattr(builder, "_affine_plan", "unset")
+    if plan == "unset":
+        plan = build_plan(builder)
+        builder._affine_plan = plan
+    return plan
+
+
 def assemble(plan: InteractionPlan, public_values, r, gamma,
              pad_d_one: bool = False, raw: bool = False):
     """Host-side weight assembly for one (r, gamma, pv) claim.
@@ -257,6 +266,122 @@ def assemble(plan: InteractionPlan, public_values, r, gamma,
         "mi": mi,
         "mw": bb.np_to_mont(mw.astype(np.uint32)),
         "mconst": bb.np_to_mont(mconst.astype(np.uint32)),
+    }
+
+
+def _csr_static(plan: InteractionPlan) -> dict:
+    """Claim-independent CSR skeleton, cached on the plan: flattened term
+    index/coefficient arrays plus the (interaction, value-slot) layout of
+    the constant/public contributions. assemble_csr turns this into
+    per-(pv, r, gamma) weights with a handful of vectorized ops - the
+    per-interaction python loop cost ~2.5ms x 47 chips per prove/verify."""
+    st = getattr(plan, "_csr_static", None)
+    if st is not None:
+        return st
+    n = plan.n_inter
+    term_off = np.zeros(n + 1, np.int32)
+    mt_off = np.zeros(n + 1, np.int32)
+    t_col: list = []
+    t_j: list = []
+    t_coeff: list = []
+    m_col: list = []
+    m_w: list = []
+    # constant entries: one per (interaction, value slot j)
+    c_inter: list = []
+    c_j: list = []
+    c_base: list = []
+    p_entry: list = []     # index into the c_* entry arrays
+    p_pv: list = []
+    p_coeff: list = []
+    m_base = np.zeros(n, np.uint64)
+    pm_inter: list = []
+    pm_pv: list = []
+    pm_coeff: list = []
+    for k in range(n):
+        sgn = plan.signs[k]
+        for (j, ci, coeff) in plan.value_terms[k]:
+            t_col.append(ci)
+            t_j.append(j)
+            t_coeff.append(coeff)
+        term_off[k + 1] = len(t_col)
+        for j, a in plan.value_consts[k]:
+            e = len(c_inter)
+            c_inter.append(k)
+            c_j.append(j)
+            c_base.append(a.const % P)
+            for pv_i, pk in a.pubs.items():
+                p_entry.append(e)
+                p_pv.append(pv_i)
+                p_coeff.append(pk % P)
+        m_base[k] = (plan.mult_affine[k].const % P) * sgn % P
+        for pv_i, pk in plan.mult_affine[k].pubs.items():
+            pm_inter.append(k)
+            pm_pv.append(pv_i)
+            pm_coeff.append((pk * sgn) % P)
+        for (ci, coeff) in plan.mult_terms[k]:
+            m_col.append(ci)
+            m_w.append((coeff * sgn) % P)
+        mt_off[k + 1] = len(m_col)
+    st = {
+        "term_off": term_off,
+        "term_col": np.asarray(t_col, np.int32),
+        "t_j": np.asarray(t_j, np.int64),
+        "t_coeff": np.asarray(t_coeff, np.uint64),
+        "mt_off": mt_off,
+        "mt_col": np.asarray(m_col, np.int32),
+        "mt_w": np.asarray(m_w, np.uint64),
+        "c_inter": np.asarray(c_inter, np.int64),
+        "c_j": np.asarray(c_j, np.int64),
+        "c_base": np.asarray(c_base, np.uint64),
+        "p_entry": np.asarray(p_entry, np.int64),
+        "p_pv": np.asarray(p_pv, np.int64),
+        "p_coeff": np.asarray(p_coeff, np.uint64),
+        "m_base": m_base,
+        "pm_inter": np.asarray(pm_inter, np.int64),
+        "pm_pv": np.asarray(pm_pv, np.int64),
+        "pm_coeff": np.asarray(pm_coeff, np.uint64),
+    }
+    plan._csr_static = st
+    return st
+
+
+def assemble_csr(plan: InteractionPlan, public_values, r, gamma):
+    """Unpadded CSR form of the plan for the native host kernels
+    (cpp lair_logup_rows / lair_logup_point): per-interaction term lists
+    concatenated, with offset arrays. All values canonical u64; signs
+    folded into mconst/mt_w exactly as in assemble()."""
+    st = _csr_static(plan)
+    n = plan.n_inter
+    _P = np.uint64(P)
+    gp = np.asarray(gamma_powers(gamma, plan.max_vals), np.uint64)
+    term_w = gp[st["t_j"] + 1] * st["t_coeff"][:, None] % _P
+    # constant entries: c_e(pv), then dconst_k = r + sum_e gp[j_e+1]*c_e
+    ce = st["c_base"].copy()
+    if len(st["p_entry"]):
+        pv_arr = np.asarray([int(v) % P for v in public_values], np.uint64)
+        np.add.at(ce, st["p_entry"],
+                  st["p_coeff"] * pv_arr[st["p_pv"]] % _P)
+        ce %= _P
+    dconst = np.tile(np.asarray([int(x) % P for x in r], np.uint64), (n, 1))
+    if len(ce):
+        contrib = gp[st["c_j"] + 1] * ce[:, None] % _P      # (C, 4)
+        np.add.at(dconst, st["c_inter"], contrib)           # sums < maxv*P
+        dconst %= _P
+    mconst = st["m_base"].copy()
+    if len(st["pm_inter"]):
+        pv_arr = np.asarray([int(v) % P for v in public_values], np.uint64)
+        np.add.at(mconst, st["pm_inter"],
+                  st["pm_coeff"] * pv_arr[st["pm_pv"]] % _P)
+        mconst %= _P
+    return {
+        "dconst": dconst,
+        "term_off": st["term_off"],
+        "term_col": st["term_col"],
+        "term_w": np.ascontiguousarray(term_w),
+        "mconst": mconst,
+        "mt_off": st["mt_off"],
+        "mt_col": st["mt_col"],
+        "mt_w": st["mt_w"],
     }
 
 

@@ -34,11 +34,23 @@ def eval_perm_quotient_np(builder: SymbolicBuilder, ctx: DomainEvalCtx,
     `perm` is the (domain_h, 4*(B+1)) base matrix of the permutation trace
     evaluated over the same domain as ctx.main. Selector values come from
     ctx.sels (base field on a coset domain).
+
+    Affine chips (all production chips) take the plan-vectorized path -
+    one pass over index/weight arrays instead of a per-interaction DAG
+    walk; bit-exact vs the walk below, which remains the oracle and the
+    non-affine fallback.
     """
     h = perm.shape[0]
     stride = ctx.rot_stride()
     batches = interaction_batches(builder)
     nb = len(batches)
+    from .affine import plan_cached
+    from .trace import _native_logup_available
+    plan = plan_cached(builder)
+    if plan is not None and builder.interactions and \
+            _native_logup_available():
+        return _eval_perm_quotient_native(plan, ctx, perm, r, gamma,
+                                          cumulative_sum, stride, nb)
     max_vals = max((len(i.values) for i in builder.interactions), default=0)
     gpows = gamma_powers(gamma, max_vals)
 
@@ -78,6 +90,44 @@ def eval_perm_quotient_np(builder: SymbolicBuilder, ctx: DomainEvalCtx,
 
     out.append(E.emul(first, E.esub(s_col, total_phi)))
     out.append(E.emul(trans, E.esub(E.esub(s_next, s_col), total_phi_next)))
+    out.append(E.emul(last, E.esub(s_col, cum)))
+    return out
+
+
+def _eval_perm_quotient_native(plan, ctx: DomainEvalCtx, perm: np.ndarray,
+                               r, gamma, cumulative_sum, stride: int,
+                               nb: int) -> List[np.ndarray]:
+    """Native-kernel eval_perm_quotient_np: all interactions' batch values
+    in one threaded pass over the plan's CSR arrays (the same plan the
+    device _pq_fn kernel and the verifier's point check consume). The
+    kernel folds a singleton batch through a unit partner, matching the
+    walk's singleton case, so values are bit-identical."""
+    from .affine import assemble_csr
+    from .trace import logup_x_columns
+    from ..lair import native
+    h = perm.shape[0]
+    csr = assemble_csr(plan, ctx.public_values, r, gamma)
+    X = logup_x_columns(ctx.main, ctx.preprocessed, ctx.sels)
+    phi_flat = np.ascontiguousarray(perm[:, :4 * nb], U)
+    out_flat = native.logup_rows(X, csr, mode=1, phi_in=phi_flat)
+    out_flat = out_flat.reshape(h, nb, 4)
+    phi_cols = phi_flat.reshape(h, nb, 4)
+
+    out = [np.ascontiguousarray(out_flat[:, b]) for b in range(nb)]
+
+    total_phi = phi_cols.astype(U).sum(axis=1) % _P        # nb*P << 2^64
+    s_col = perm[:, 4 * nb:4 * nb + 4]
+    s_next = np.roll(s_col, -stride, axis=0)
+    total_phi_next = np.roll(total_phi, -stride, axis=0)
+
+    first = E.from_base(ctx.sels["first"])
+    last = E.from_base(ctx.sels["last"])
+    trans = E.from_base(ctx.sels["transition"])
+    cum = E.from_scalar(cumulative_sum, (h,))
+
+    out.append(E.emul(first, E.esub(s_col, total_phi)))
+    out.append(E.emul(trans, E.esub(E.esub(s_next, s_col),
+                                    total_phi_next)))
     out.append(E.emul(last, E.esub(s_col, cum)))
     return out
 

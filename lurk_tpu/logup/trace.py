@@ -59,7 +59,22 @@ def build_permutation_trace(builder: SymbolicBuilder, main: np.ndarray,
                             preprocessed: Optional[np.ndarray],
                             public_values, r, gamma
                             ) -> Tuple[np.ndarray, tuple]:
-    """Returns (perm trace base matrix (h, 4*(B+1)), cumulative_sum ext)."""
+    """Returns (perm trace base matrix (h, 4*(B+1)), cumulative_sum ext).
+
+    Interactions are affine by protocol construction, so the default path
+    evaluates ALL of a chip's fingerprints/multiplicities in one threaded
+    native pass over the chip's InteractionPlan in CSR form (the same plan
+    the device kernels consume); the per-interaction DAG walk below stays
+    as the oracle, the non-affine fallback, and the no-native-library
+    path. Identical bits either way (exact mod-p arithmetic,
+    association-free)."""
+    from .affine import plan_cached
+    from ..lair import native
+    plan = plan_cached(builder)
+    if plan is not None and builder.interactions and \
+            _native_logup_available():
+        return _build_permutation_trace_native(plan, main, preprocessed,
+                                               public_values, r, gamma)
     h = main.shape[0]
     sels = _trace_sels(h)
     ctx = DomainEvalCtx(main, preprocessed, public_values, sels)
@@ -81,6 +96,45 @@ def build_permutation_trace(builder: SymbolicBuilder, main: np.ndarray,
     s = np.cumsum(total, axis=0, dtype=U) % _P
     cols.append(s)
     trace = np.concatenate(cols, axis=1).astype(U)
+    cumulative = tuple(int(x) for x in s[-1])
+    return trace, cumulative
+
+
+def _native_logup_available() -> bool:
+    from ..lair import native
+    if not native.native_available():
+        return False
+    try:
+        native._logup_rows_fn()
+        return True
+    except (OSError, AttributeError):
+        return False   # stale library without the LogUp entry point
+
+
+def logup_x_columns(main, preprocessed, sels) -> np.ndarray:
+    """The plan's X column space [main | prep | first | last | trans]."""
+    parts = [np.asarray(main, U)]
+    if preprocessed is not None:
+        parts.append(np.asarray(preprocessed, U))
+    parts.append(np.ascontiguousarray(
+        np.stack([np.asarray(sels["first"], U), np.asarray(sels["last"], U),
+                  np.asarray(sels["transition"], U)], axis=1)))
+    return np.ascontiguousarray(np.concatenate(parts, axis=1)
+                                if len(parts) > 1 else parts[0])
+
+
+def _build_permutation_trace_native(plan, main, preprocessed,
+                                    public_values, r, gamma):
+    from .affine import assemble_csr
+    from ..lair import native
+    h = main.shape[0]
+    nb = plan.n_batches
+    csr = assemble_csr(plan, public_values, r, gamma)
+    X = logup_x_columns(main, preprocessed, _trace_sels(h))
+    phi = native.logup_rows(X, csr, mode=0)     # (h, nb*4)
+    total = phi.reshape(h, nb, 4).sum(axis=1, dtype=U) % _P  # nb*P << 2^64
+    s = np.cumsum(total, axis=0, dtype=U) % _P
+    trace = np.concatenate([phi, s], axis=1)
     cumulative = tuple(int(x) for x in s[-1])
     return trace, cumulative
 

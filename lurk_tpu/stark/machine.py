@@ -216,7 +216,13 @@ class StarkMachine:
                 prep_mats.append(np.asarray(p, U))
                 prep_names.append(chip.name)
         if prep_mats:
-            rnd = pcs.commit(prep_mats)
+            # host-native commit: setup output is host data (the device
+            # prover re-commits on device and asserts root equality), and
+            # the 2^17-row bytes-table LDE is exactly the kind of one-off
+            # call that pays the tunnel's first-use executable-load tax
+            from ..field.ntt import host_compute
+            with host_compute():
+                rnd = pcs.commit(prep_mats)
             pk = ProvingKey(rnd, prep_names)
             vk = VerifyingKey(rnd.roots, prep_names,
                               [m.shape[1] for m in prep_mats],
@@ -245,24 +251,34 @@ class StarkMachine:
             if force in ("device", "host"):
                 device = force == "device"
             else:
-                try:
-                    import jax
-                    device = jax.default_backend() != "cpu"
-                except Exception:
+                # size check FIRST: a small workload takes the host path
+                # without ever importing jax (initializing the tunneled
+                # backend alone costs seconds in a fresh process)
+                min_cells = int(os.environ.get(
+                    "LURK_TPU_DEVICE_MIN_CELLS", 1 << 22))
+                # shard once; the chosen prover reuses the split
+                shards = Shard(queries, 0, shard_config).shard()
+                if self._trace_cells(queries, shard_config,
+                                     shards=shards) < min_cells:
                     device = False
-                if device:
-                    min_cells = int(os.environ.get(
-                        "LURK_TPU_DEVICE_MIN_CELLS", 1 << 22))
-                    # shard once; the chosen prover reuses the split
-                    shards = Shard(queries, 0, shard_config).shard()
-                    device = self._trace_cells(
-                        queries, shard_config, shards=shards) >= min_cells
+                else:
+                    try:
+                        import jax
+                        device = jax.default_backend() != "cpu"
+                    except Exception:
+                        device = False
         if device:
             from .device_prover import device_prove
             return device_prove(self, pk, queries, challenger, shard_config,
                                 shards=shards)
-        return self._prove_host(pk, queries, challenger, shard_config,
-                                shards=shards)
+        # pin every NTT/LDE/Merkle-hash of the host prover to the
+        # host-native path: on an accelerator backend the height-routed
+        # device calls cost ~40ms tunnel latency each plus per-shape
+        # first-use executable loads, which dominated small proofs
+        from ..field.ntt import host_compute
+        with host_compute():
+            return self._prove_host(pk, queries, challenger, shard_config,
+                                    shards=shards)
 
     def _trace_cells(self, queries: QueryRecord, shard_config,
                      shards=None) -> int:
@@ -318,12 +334,65 @@ class StarkMachine:
     @staticmethod
     def _fold_base(builder, ctx, weights):
         """alpha-fold the base constraints over the quotient coset.
-        (A native per-row SSA interpreter was tried and measured ~40%
-        slower than numpy's vectorized DAG evaluation - interpretive
-        dispatch per node-row loses to full-height array ops.)"""
+
+        Default: the chip's constraint-VM register program executed by the
+        native base-field interpreter (threaded over rows) - one pass for
+        the whole constraint set, same exact mod-p ops as the DAG walk.
+        Fallback: vectorized numpy DAG evaluation. (A python per-row SSA
+        interpreter was tried in round 1 and lost to numpy; the native
+        lane-threaded VM wins because dispatch is per OP, not per
+        node-row.)"""
+        vals = StarkMachine._native_domain_constraint_vals(builder, ctx)
+        if vals is not None:
+            return pcs.matmul_mod(vals.T, weights)
         base_mat = np.stack([ctx.eval(c) for c in builder.constraints],
                             axis=1)
         return pcs.matmul_mod(base_mat, weights)
+
+    @staticmethod
+    def _native_domain_constraint_vals(builder, ctx):
+        """(ncons, h) base constraint values over ctx's domain via the
+        native constraint VM, or None when the library isn't built."""
+        from ..lair import native
+        if not native.native_available():
+            return None
+        try:
+            native._vm_eval_base_fn()
+        except (OSError, AttributeError):
+            return None   # stale library without the base VM entry point
+        from .constraint_vm import linearize
+        prog = getattr(builder, "_vm_program", None)
+        if prog is None:
+            prog = linearize(builder)
+            builder._vm_program = prog
+        h = ctx.height
+        stride = ctx.rot_stride()
+        R, Wx = prog.n_regs, prog.x_width
+        nc = len(prog.const_vals)
+        wm, wp = prog.main_width, prog.prep_width
+        buf = np.zeros((R + 2 * Wx + nc, h), np.uint64)
+        main = ctx.main
+        buf[R:R + wm] = main.T
+        buf[R + Wx:R + Wx + wm] = np.roll(main, -stride, axis=0).T
+        if wp:
+            prep = ctx.preprocessed
+            buf[R + wm:R + wm + wp] = prep.T
+            buf[R + Wx + wm:R + Wx + wm + wp] = \
+                np.roll(prep, -stride, axis=0).T
+        sel_base = R + wm + wp
+        for j, kind in enumerate(("first", "last", "transition")):
+            buf[sel_base + j] = ctx.sels[kind]
+            buf[sel_base + j + Wx] = ctx.sels[kind]
+        buf[sel_base + 3] = 1                 # ones column (layout slot)
+        buf[sel_base + 3 + Wx] = 1
+        consts = list(prog.const_vals)
+        for ci, pi in prog.pub_slots:
+            consts[ci] = int(ctx.public_values[pi]) % bb.P
+        cbase = R + 2 * Wx
+        for ci, v in enumerate(consts):
+            buf[cbase + ci] = v % bb.P
+        native.vm_eval_base(np.ascontiguousarray(prog.ops), buf)
+        return buf[:prog.n_cons]
 
     def _prove_shard(self, pk, shard, chips, traces, main_round, pv,
                      ch: Challenger) -> ShardProof:
@@ -774,10 +843,10 @@ class StarkMachine:
             if cons_vals is not None and plan is not None:
                 # fully vectorized: native VM constraint values + plan-
                 # driven LogUp check, folded by a shared alpha-power table
-                from ..logup.affine import assemble, eval_perm_at_point_plan
-                from ..logup.trace import interaction_batches
-                arrs = assemble(plan, pv, info0["r"], info0["gamma"],
-                                pad_d_one=True, raw=True)
+                from ..logup.affine import (assemble, assemble_csr,
+                                            eval_perm_at_point_plan)
+                from ..logup.trace import (interaction_batches,
+                                           _native_logup_available)
                 n_base = len(builder.constraints)
                 nb = len(interaction_batches(builder))
                 n_total = n_base + nb + 3
@@ -791,9 +860,26 @@ class StarkMachine:
                 X = np.concatenate(xparts, axis=1)
                 pblock = vrecombine(perm_local[:, :4 * (nb + 1)])
                 pblock_n = vrecombine(perm_next[:, :4 * (nb + 1)])
-                pvals = eval_perm_at_point_plan(
-                    plan, arrs, X, pblock[:, :nb], pblock_n[:, :nb],
-                    pblock[:, nb], pblock_n[:, nb], cums, sels_arr)
+                have_native_point = False
+                if _native_logup_available():
+                    from ..lair import native
+                    try:
+                        native._logup_point_fn()
+                        have_native_point = True
+                    except (OSError, AttributeError):
+                        pass   # stale library without the point kernel
+                if have_native_point:
+                    csr = assemble_csr(plan, pv, info0["r"],
+                                       info0["gamma"])
+                    pvals = native.logup_point(
+                        X, csr, pblock[:, :nb], pblock_n[:, :nb],
+                        pblock[:, nb], pblock_n[:, nb], cums, sels_arr)
+                else:
+                    arrs = assemble(plan, pv, info0["r"], info0["gamma"],
+                                    pad_d_one=True, raw=True)
+                    pvals = eval_perm_at_point_plan(
+                        plan, arrs, X, pblock[:, :nb], pblock_n[:, :nb],
+                        pblock[:, nb], pblock_n[:, nb], cums, sels_arr)
                 all_vals = np.concatenate(
                     [np.transpose(cons_vals, (1, 0, 2)), pvals], axis=1)
                 # alpha powers per instance, highest power first

@@ -298,9 +298,13 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
 
     def input_values_fn(log_n: int, idx_arr: np.ndarray):
         """(nq, 4) reduced-opening values at idx_arr for size 2^log_n, or
-        None; vectorized over queries AND over the live (matrix, point)
-        pairs (hot path of the ms-verifier): one batched extension-field
-        inverse instead of one per pair."""
+        None (hot path of the ms-verifier). All live (matrix, point) pairs
+        at this height share at most three distinct opening points (zeta,
+        zeta*g, zeta^2), so their alpha-power weights fold into per-z
+        weight vectors over the CONCATENATED opened rows:
+          sum_m (f_m(x)*a_m - y_m)/(x - z) == (F(x)@W_z - Y_z)/(x - z)
+        - one native mod-p matmul and one batched inverse per height
+        instead of a python loop per (matrix, point)."""
         live = [(r, m) for r in range(len(roots))
                 for m in range(len(widths[r])) if lde_lhs[r][m] == log_n]
         if not live:
@@ -308,40 +312,53 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
         x_ext = E.from_base(powers_at(bb.two_adic_generator_s(log_n),
                                       idx_arr, GENERATOR))  # (nq, 4)
         nq_ = len(idx_arr)
-        nums, zs = [], []
-        rows_cache: Dict[Tuple[int, int], np.ndarray] = {}
+        # concatenated opened rows for all live matrices, in live order
+        segs = []
+        offs = []
+        off = 0
         for r, m in live:
-            key = (r, m)
-            row_arr = rows_cache.get(key)
-            if row_arr is None:
-                # locate this matrix's slot inside its height group
-                gi = pos = None
-                for g, (g_log, midxs) in enumerate(round_groups[r]):
-                    if g_log == log_n and m in midxs:
-                        gi, pos = g, midxs.index(m)
-                if gi is None:
-                    raise VerificationError("matrix missing from groups")
-                w = widths[r][m]
-                rows = []
-                for per_round in proof.query_openings:
-                    e_log, opening = per_round[r][gi]
-                    if pos >= len(opening.rows) or \
-                            len(opening.rows[pos]) != w:
-                        raise VerificationError("opening rows truncated")
-                    rows.append([int(x_) % bb.P for x_ in opening.rows[pos]])
-                row_arr = np.asarray(rows, U)                # (nq, w)
-                rows_cache[key] = row_arr
+            # locate this matrix's slot inside its height group
+            gi = pos = None
+            for g, (g_log, midxs) in enumerate(round_groups[r]):
+                if g_log == log_n and m in midxs:
+                    gi, pos = g, midxs.index(m)
+            if gi is None:
+                raise VerificationError("matrix missing from groups")
+            w = widths[r][m]
+            rows = []
+            for per_round in proof.query_openings:
+                e_log, opening = per_round[r][gi]
+                if pos >= len(opening.rows) or \
+                        len(opening.rows[pos]) != w:
+                    raise VerificationError("opening rows truncated")
+                rows.append(opening.rows[pos])
+            # hostile values surface as OverflowError/ValueError -> caught
+            segs.append(np.asarray(rows, U) % _P)            # (nq, w)
+            offs.append(off)
+            off += w
+        rows_concat = np.concatenate(segs, axis=1)           # (nq, W)
+        # per distinct z: summed weights + summed y_alpha (exact: terms
+        # sharing a denominator add in the numerator)
+        zw: Dict[tuple, np.ndarray] = {}
+        zy: Dict[tuple, np.ndarray] = {}
+        for (r, m), o in zip(live, offs):
+            w = widths[r][m]
             for z, apows, y_alpha in pts_cache[(r, m)]:
-                fx = np.stack([
-                    (row_arr * apows[None, :, l] % _P).sum(axis=1) % _P
-                    for l in range(4)], axis=1)              # (nq, 4)
-                nums.append(E.esub(fx, np.broadcast_to(
-                    np.asarray(y_alpha, U), fx.shape)))
-                zs.append(np.asarray(z, U))
-        k = len(nums)
+                zkey = tuple(int(v) for v in z)
+                if zkey not in zw:
+                    zw[zkey] = np.zeros((off, 4), U)
+                    zy[zkey] = np.zeros(4, U)
+                zw[zkey][o:o + w] = (zw[zkey][o:o + w] + apows) % _P
+                zy[zkey] = (zy[zkey] + np.asarray(y_alpha, U)) % _P
+        zkeys = list(zw)
+        nums = []
+        for zkey in zkeys:
+            fx = matmul_mod(rows_concat, zw[zkey])           # (nq, 4)
+            nums.append(E.esub(fx, np.broadcast_to(zy[zkey], fx.shape)))
+        k = len(zkeys)
         num_all = np.concatenate(nums, axis=0)               # (k*nq, 4)
         xz_all = E.esub(np.tile(x_ext, (k, 1)),
-                        np.repeat(np.stack(zs), nq_, axis=0))
+                        np.repeat(np.asarray(zkeys, U), nq_, axis=0))
         terms = E.emul(num_all, E.einv(xz_all))
         total = np.zeros((nq_, 4), U)
         for t in range(k):
