@@ -402,15 +402,21 @@ def _lde_kernel(group, intt_tables, ntt_tables, sp, log_h: int):
 
 
 def _mesh_commit_cfg():
-    """(mesh, per-device cell budget) when LURK_TPU_MESH_COMMIT enables
-    row-sharded commits; (None, 0) otherwise. A trace group whose LDE
-    exceeds the budget gets its NTTs computed with the four-step
-    all-to-all mesh kernel (parallel/ntt_mesh.mesh_lde): one device's
-    memory no longer bounds the committable trace height (SURVEY.md
-    sections 2.11 / 5.8; the reference handles arbitrary heights in one
-    address space - src/lair/execute.rs:186-241)."""
+    """(mesh, per-device cell budget) for row-sharded commits; (None, 0)
+    when disabled. A trace group whose LDE exceeds the budget gets its
+    NTTs computed with the four-step all-to-all mesh kernel
+    (parallel/ntt_mesh.mesh_lde): one device's memory no longer bounds
+    the committable trace height (SURVEY.md sections 2.11 / 5.8; the
+    reference handles arbitrary heights in one address space -
+    src/lair/execute.rs:186-241).
+
+    Default AUTO (round-3 VERDICT item #10): enabled whenever >1 device
+    is visible - the budget (LURK_TPU_MESH_COMMIT_CELLS, default 2^28
+    LDE cells ~ 1GB) keeps ordinary groups on the single-device path, so
+    the mesh kernel engages exactly when a group would otherwise
+    threaten one chip's memory. LURK_TPU_MESH_COMMIT=0 disables."""
     import os
-    val = os.environ.get("LURK_TPU_MESH_COMMIT", "0")
+    val = os.environ.get("LURK_TPU_MESH_COMMIT", "auto")
     if val == "0":
         return None, 0
     import jax as _jax
