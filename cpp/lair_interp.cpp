@@ -19,6 +19,11 @@
 #include <unordered_map>
 #include <vector>
 #include <thread>
+#include <atomic>
+#include <condition_variable>
+#include <deque>
+#include <functional>
+#include <mutex>
 
 namespace {
 
@@ -348,6 +353,116 @@ inline void perm8(const CfgMont& cfg, __m512i* s) {
 
 }  // namespace p2v
 #endif  // AVX512
+
+// ---------------------------------------------------------------------------
+// Poseidon2, 4 states at a time (SSE4.1 packed-u32 Montgomery lanes)
+//
+// The serving hosts here expose SSE4.2/AVX but no AVX2/AVX-512, so the
+// 8-wide path above compiles out. This 4-wide path packs four states into
+// u32 lanes of one __m128i per state column; Montgomery multiply splits
+// even/odd lanes through pmuludq (the only 32x32->64 vector multiply
+// pre-AVX2) exactly like Plonky3's AVX2 kernel does at twice the width.
+// Same mod-p math as the scalar path; canonical outputs bit-identical.
+// ---------------------------------------------------------------------------
+
+#if !defined(LAIR_P2_AVX512) && defined(__SSE4_1__)
+#define LAIR_P2_SSE 1
+#include <smmintrin.h>
+
+namespace p2s {
+
+constexpr u32 PINV32 = 0x77ffffffu;   // -P^-1 mod 2^32
+constexpr u32 R2 = 0x45dddde3u;       // 2^64 mod P
+
+inline __m128i vset(u32 x) { return _mm_set1_epi32((int)x); }
+
+// 4-lane packed-u32 Montgomery multiply; inputs < P, output < P.
+inline __m128i mont_mul(__m128i a, __m128i b) {
+  const __m128i vp = vset(P), vpinv = vset(PINV32);
+  __m128i te = _mm_mul_epu32(a, b);                    // lanes 0,2 (u64)
+  __m128i to = _mm_mul_epu32(_mm_srli_epi64(a, 32),
+                             _mm_srli_epi64(b, 32));   // lanes 1,3 (u64)
+  // m = (t mod 2^32) * pinv mod 2^32 (pmuludq reads the low halves)
+  __m128i me = _mm_mul_epu32(te, vpinv);
+  __m128i mo = _mm_mul_epu32(to, vpinv);
+  // u = (t + m*P) >> 32 < 2P; exact division (low half cancels)
+  __m128i ue = _mm_srli_epi64(_mm_add_epi64(te, _mm_mul_epu32(me, vp)), 32);
+  __m128i uo = _mm_srli_epi64(_mm_add_epi64(to, _mm_mul_epu32(mo, vp)), 32);
+  __m128i u = _mm_or_si128(ue, _mm_slli_epi64(uo, 32));
+  // canonical reduce: if u >= P then u-P (in [0,P)) is the unsigned min
+  return _mm_min_epu32(u, _mm_sub_epi32(u, vp));
+}
+
+inline __m128i addm(__m128i a, __m128i b) {
+  const __m128i vp = vset(P);
+  __m128i s = _mm_add_epi32(a, b);    // a, b < P < 2^31: no u32 overflow
+  return _mm_min_epu32(s, _mm_sub_epi32(s, vp));
+}
+
+inline __m128i sbox7(__m128i x) {
+  __m128i x2 = mont_mul(x, x);
+  __m128i x3 = mont_mul(x2, x);
+  return mont_mul(mont_mul(x3, x3), x);
+}
+
+inline u32 to_mont_s(u64 x) { return (u32)((x << 32) % P); }
+
+// constants pre-converted to Montgomery form (u32 packed lanes)
+struct CfgMont {
+  u32 width, r_f, r_p;
+  std::vector<u32> full_rc, part_rc, diag;
+  explicit CfgMont(const PoseidonCfg& c)
+      : width(c.width), r_f(c.r_f), r_p(c.r_p) {
+    for (u32 x : c.full_rc) full_rc.push_back(to_mont_s(x));
+    for (u32 x : c.part_rc) part_rc.push_back(to_mont_s(x));
+    for (u32 x : c.diag) diag.push_back(to_mont_s(x));
+  }
+};
+
+inline void ext_layer_v(__m128i* s, u32 w) {
+  for (u32 c = 0; c < w; c += 4) {
+    __m128i x0 = s[c], x1 = s[c + 1], x2 = s[c + 2], x3 = s[c + 3];
+    __m128i t01 = addm(x0, x1), t23 = addm(x2, x3);
+    __m128i t0123 = addm(t01, t23);
+    __m128i t01123 = addm(t0123, x1), t01233 = addm(t0123, x3);
+    s[c + 3] = addm(t01233, addm(x0, x0));
+    s[c + 1] = addm(t01123, addm(x2, x2));
+    s[c] = addm(t01123, t01);
+    s[c + 2] = addm(t01233, t23);
+  }
+  __m128i sums[4];
+  for (u32 k = 0; k < 4; k++) {
+    sums[k] = s[k];
+    for (u32 c = k + 4; c < w; c += 4) sums[k] = addm(sums[k], s[c]);
+  }
+  for (u32 i = 0; i < w; i++) s[i] = addm(s[i], sums[i & 3]);
+}
+
+// permute 4 states held as w column vectors (Montgomery domain, in place)
+inline void perm4(const CfgMont& cfg, __m128i* s) {
+  u32 w = cfg.width;
+  ext_layer_v(s, w);
+  for (u32 r = 0; r < cfg.r_f / 2; r++) {
+    for (u32 i = 0; i < w; i++)
+      s[i] = sbox7(addm(s[i], vset(cfg.full_rc[r * w + i])));
+    ext_layer_v(s, w);
+  }
+  for (u32 r = 0; r < cfg.r_p; r++) {
+    s[0] = sbox7(addm(s[0], vset(cfg.part_rc[r])));
+    __m128i sum = s[0];
+    for (u32 i = 1; i < w; i++) sum = addm(sum, s[i]);
+    for (u32 i = 0; i < w; i++)
+      s[i] = addm(mont_mul(s[i], vset(cfg.diag[i])), sum);
+  }
+  for (u32 r = cfg.r_f / 2; r < cfg.r_f; r++) {
+    for (u32 i = 0; i < w; i++)
+      s[i] = sbox7(addm(s[i], vset(cfg.full_rc[r * w + i])));
+    ext_layer_v(s, w);
+  }
+}
+
+}  // namespace p2s
+#endif  // SSE4.1
 
 // ---------------------------------------------------------------------------
 // interpreter state
@@ -1027,22 +1142,119 @@ bool execute_func(Interp& st, u32 entry_idx, const std::vector<u32>& args) {
 
 }  // namespace
 
-// Helper: run fn(lo, hi) over [0, n) across threads.
+// ---------------------------------------------------------------------------
+// persistent worker pool
+//
+// Thread creation on the shared 4-vCPU serving hosts measures ~0.5-1ms -
+// spawning per parallel_for call made mid-sized kernels SLOWER than serial
+// (ext_emul at 4096 rows: 3.8ms spawned vs 0.2ms serial work). Workers are
+// created once on first use and parked on a condition variable; dispatch
+// cost is one lock + notify (~5us). The pool object is intentionally
+// leaked so no destructor races python interpreter shutdown; the threads
+// die with the process.
+// ---------------------------------------------------------------------------
+
+class WorkerPool {
+  struct Job {
+    std::function<void(u64)> fn;   // fn(chunk_index)
+    u64 nchunks = 0;
+    std::atomic<u64> next{0};
+    std::atomic<u64> done{0};
+    std::mutex m;
+    std::condition_variable cv;
+
+    void work() {
+      for (;;) {
+        u64 i = next.fetch_add(1, std::memory_order_relaxed);
+        if (i >= nchunks) return;
+        fn(i);
+        if (done.fetch_add(1, std::memory_order_acq_rel) + 1 == nchunks) {
+          std::lock_guard<std::mutex> lk(m);
+          cv.notify_all();
+        }
+      }
+    }
+  };
+
+ public:
+  static WorkerPool& inst() {
+    static WorkerPool* p = new WorkerPool();   // leaked on purpose
+    return *p;
+  }
+
+  u64 size() const { return n_workers_ + 1; }  // caller lends a hand
+
+  // run fn(chunk_index) for i in [0, nchunks); blocks until all complete
+  void run_chunks(u64 nchunks, std::function<void(u64)> fn) {
+    auto job = std::make_shared<Job>();
+    job->fn = std::move(fn);
+    job->nchunks = nchunks;
+    u64 helpers = std::min<u64>(n_workers_, nchunks - 1);
+    if (helpers) {
+      std::lock_guard<std::mutex> lk(m_);
+      for (u64 t = 0; t < helpers; t++) q_.push_back(job);
+    }
+    if (helpers) cv_.notify_all();
+    job->work();   // caller participates
+    std::unique_lock<std::mutex> lk(job->m);
+    job->cv.wait(lk, [&] {
+      return job->done.load(std::memory_order_acquire) >= nchunks;
+    });
+  }
+
+ private:
+  WorkerPool() {
+    u64 n = std::min<u64>(std::thread::hardware_concurrency(), 8);
+    n_workers_ = n > 1 ? n - 1 : 0;
+    for (u64 i = 0; i < n_workers_; i++) {
+      std::thread([this]() {
+        for (;;) {
+          std::shared_ptr<Job> job;
+          {
+            std::unique_lock<std::mutex> lk(m_);
+            cv_.wait(lk, [&] { return !q_.empty(); });
+            job = std::move(q_.front());
+            q_.pop_front();
+          }
+          job->work();
+        }
+      }).detach();
+    }
+  }
+
+  u64 n_workers_ = 0;
+  std::mutex m_;
+  std::condition_variable cv_;
+  std::deque<std::shared_ptr<Job>> q_;
+};
+
+// Helper: run fn(lo, hi) over [0, n) across the worker pool.
 template <typename F>
 void parallel_for(u64 n, u64 min_serial, F fn) {
+  static thread_local bool in_pool_task = false;
   u64 nthreads = std::min<u64>(std::thread::hardware_concurrency(), 8);
-  if (nthreads <= 1 || n < min_serial) {
+  if (nthreads <= 1 || n < min_serial || in_pool_task) {
     fn((u64)0, n);
     return;
   }
-  std::vector<std::thread> pool;
-  u64 chunk = (n + nthreads - 1) / nthreads;
-  for (u64 t = 0; t < nthreads; t++) {
-    u64 lo = t * chunk, hi = std::min(n, lo + chunk);
-    if (lo >= hi) break;
-    pool.emplace_back([=]() { fn(lo, hi); });
+  WorkerPool& pool = WorkerPool::inst();
+  // 2x oversubscription: chunks are claimed via an atomic counter, so
+  // extra chunks give load balance at negligible dispatch cost. n >=
+  // min_serial already says the job is worth threading - don't let a
+  // small n (of expensive items, e.g. wide sponge rows) under-split.
+  u64 nchunks = std::min<u64>(2 * pool.size(), n);
+  if (nchunks <= 1) {
+    fn((u64)0, n);
+    return;
   }
-  for (auto& th : pool) th.join();
+  u64 chunk = (n + nchunks - 1) / nchunks;
+  pool.run_chunks(nchunks, [&](u64 i) {
+    u64 lo = i * chunk, hi = std::min(n, lo + chunk);
+    if (lo >= hi) return;
+    in_pool_task = true;
+    fn(lo, hi);
+    in_pool_task = false;
+  });
 }
 
 // ---------------------------------------------------------------------------
@@ -1400,6 +1612,48 @@ void lair_hash_rows(const u32* consts, u64 consts_len, const u64* mat,
       for (int j = 0; j < 8; j++) out[r * 8 + j] = sc[j];
     }
   });
+#elif defined(LAIR_P2_SSE)
+  p2s::CfgMont mcfg(cfg);
+  parallel_for(n, 64, [&, n, w](u64 lo, u64 hi) {
+    const u32 W = cfg.width;
+    __m128i s[48];
+    alignas(16) u32 tmp[4];
+    const __m128i r2 = p2s::vset(p2s::R2), one = p2s::vset(1);
+    u64 r = lo;
+    for (; r + 4 <= hi && w; r += 4) {
+      for (u32 c = 0; c < W; c++) s[c] = _mm_setzero_si128();
+      for (u64 c = 0; c < w; c += 8) {
+        for (u64 j = 0; j < 8; j++) {
+          if (c + j < w) {
+            for (u32 q = 0; q < 4; q++)
+              tmp[q] = (u32)(mat[(r + q) * w + c + j] % P);
+            s[j] = p2s::mont_mul(_mm_load_si128((const __m128i*)tmp), r2);
+          } else {
+            s[j] = _mm_setzero_si128();
+          }
+        }
+        p2s::perm4(mcfg, s);
+      }
+      for (u32 j = 0; j < 8; j++) {
+        _mm_store_si128((__m128i*)tmp, p2s::mont_mul(s[j], one));
+        for (u32 q = 0; q < 4; q++) out[(r + q) * 8 + j] = tmp[q];
+      }
+    }
+    std::vector<u32> sc(cfg.width);
+    for (; r < hi; r++) {
+      std::fill(sc.begin(), sc.end(), 0);
+      if (w == 0) {
+        poseidon2(cfg, sc.data());
+      } else {
+        for (u64 c = 0; c < w; c += 8) {
+          for (u64 j = 0; j < 8; j++)
+            sc[j] = c + j < w ? (u32)(mat[r * w + c + j] % P) : 0;
+          poseidon2(cfg, sc.data());
+        }
+      }
+      for (int j = 0; j < 8; j++) out[r * 8 + j] = sc[j];
+    }
+  });
 #else
   parallel_for(n, 64, [&, n, w](u64 lo, u64 hi) {
     std::vector<u32> s(cfg.width);
@@ -1449,14 +1703,7 @@ void lair_ntt_stages(u32* data, u64 n, u64 w, const u32* twiddles) {
     if (nthreads <= 1 || n_bfly * w < (1u << 15)) {
       run(0, n_bfly);
     } else {
-      std::vector<std::thread> pool;
-      u64 chunk = (n_bfly + nthreads - 1) / nthreads;
-      for (u64 t = 0; t < nthreads; t++) {
-        u64 lo = t * chunk, hi = std::min(n_bfly, lo + chunk);
-        if (lo >= hi) break;
-        pool.emplace_back(run, lo, hi);
-      }
-      for (auto& th : pool) th.join();
+      parallel_for(n_bfly, 1, run);
     }
     stage_tw += m;
   }
@@ -1506,6 +1753,31 @@ void lair_poseidon_batch(const u32* consts, u64 consts_len, const u32* input,
       std::copy(sc.begin(), sc.end(), output + i * w);
     }
   };
+#elif defined(LAIR_P2_SSE)
+  p2s::CfgMont mcfg(cfg);
+  auto run = [&](u64 lo, u64 hi) {
+    __m128i s[48];                 // max config width
+    alignas(16) u32 tmp[4];
+    u64 i = lo;
+    const __m128i r2 = p2s::vset(p2s::R2), one = p2s::vset(1);
+    for (; i + 4 <= hi; i += 4) {
+      for (u32 c = 0; c < w; c++) {
+        for (u32 r = 0; r < 4; r++) tmp[r] = input[(i + r) * w + c];
+        s[c] = p2s::mont_mul(_mm_load_si128((const __m128i*)tmp), r2);
+      }
+      p2s::perm4(mcfg, s);
+      for (u32 c = 0; c < w; c++) {
+        _mm_store_si128((__m128i*)tmp, p2s::mont_mul(s[c], one));
+        for (u32 r = 0; r < 4; r++) output[(i + r) * w + c] = tmp[r];
+      }
+    }
+    std::vector<u32> sc(w);
+    for (; i < hi; i++) {
+      std::copy(input + i * w, input + (i + 1) * w, sc.begin());
+      poseidon2(cfg, sc.data());
+      std::copy(sc.begin(), sc.end(), output + i * w);
+    }
+  };
 #else
   auto run = [&](u64 lo, u64 hi) {
     std::vector<u32> s(w);
@@ -1516,19 +1788,7 @@ void lair_poseidon_batch(const u32* consts, u64 consts_len, const u32* input,
     }
   };
 #endif
-  u64 nthreads = std::min<u64>(std::thread::hardware_concurrency(), 8);
-  if (nthreads <= 1 || n < 256) {
-    run(0, n);
-    return;
-  }
-  std::vector<std::thread> pool;
-  u64 chunk = (n + nthreads - 1) / nthreads;
-  for (u64 t = 0; t < nthreads; t++) {
-    u64 lo = t * chunk, hi = std::min(n, lo + chunk);
-    if (lo >= hi) break;
-    pool.emplace_back(run, lo, hi);
-  }
-  for (auto& th : pool) th.join();
+  parallel_for(n, 256, run);
 }
 
 // Duplex-sponge challenger absorb (width 16, rate 8), the Fiat-Shamir

@@ -67,7 +67,12 @@ class Challenger:
             for v in values:
                 self.observe(v)
             return
-        vals = np.asarray([int(v) % bb.P for v in values], np.uint32)
+        if isinstance(values, np.ndarray):
+            # array fast path (proof_view absorbs): vectorized reduction
+            vals = (values.astype(np.uint64, copy=False)
+                    % np.uint64(bb.P)).astype(np.uint32).ravel()
+        else:
+            vals = np.asarray([int(v) % bb.P for v in values], np.uint32)
         if vals.size == 0:
             return
         self.output_buffer.clear()

@@ -188,7 +188,7 @@ def prove(codewords: Dict[int, np.ndarray], config: FriConfig,
 
 def verify(proof: FriProof, config: FriConfig, max_log: int,
            input_values_fn, challenger: Challenger,
-           multi=None) -> bool:
+           multi=None, view=None) -> bool:
     """input_values_fn(log_n, indices (nq,) int64) -> (nq, 4) uint64 array
     or None: the reduced-opening codeword values at `indices` of the
     size-2^log_n input (None if no input codeword at that size).
@@ -235,17 +235,23 @@ def verify(proof: FriProof, config: FriConfig, max_log: int,
         for layer, root in enumerate(proof.layer_roots):
             half = 1 << (log_n - 1)
             j = idx % half
-            openings = [merkle.Opening([q.steps[layer].pair_row],
-                                       q.steps[layer].path)
-                        for q in proof.queries]
-            if multi is not None:
-                if not multi.add(root, [half], j, openings):
+            if view is not None and multi is not None:
+                rows = view.pair_rows[:, layer]          # (nq, 8) raw
+                if not multi.add_arrays(root, log_n - 1, j, rows % P,
+                                        view.fri_paths[layer]):
                     return False
-            elif not merkle.verify_openings_batch(root, [half], j,
-                                                  openings):
-                return False
-            rows = np.asarray([[int(x) for x in q.steps[layer].pair_row]
-                               for q in proof.queries], np.uint64)
+            else:
+                openings = [merkle.Opening([q.steps[layer].pair_row],
+                                           q.steps[layer].path)
+                            for q in proof.queries]
+                if multi is not None:
+                    if not multi.add(root, [half], j, openings):
+                        return False
+                elif not merkle.verify_openings_batch(root, [half], j,
+                                                      openings):
+                    return False
+                rows = np.asarray([[int(x) for x in q.steps[layer].pair_row]
+                                   for q in proof.queries], np.uint64)
             f_x, f_mx = rows[:, :4], rows[:, 4:]
             mine = np.where((idx < half)[:, None], f_x, f_mx)
             # strict: opened values must be canonical and match exactly

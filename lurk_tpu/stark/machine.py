@@ -553,7 +553,8 @@ class StarkMachine:
             if not pcs.verify_rounds(info["roots"], info["rounds_widths"],
                                      info["rounds_lhs"],
                                      info["rounds_points"], sp.pcs_proof,
-                                     self.config, info["ch"], multi=multi):
+                                     self.config, info["ch"], multi=multi,
+                                     view=info["view"]):
                 return False
         _vlog("pcs rounds")
         if not multi.run():
@@ -666,19 +667,24 @@ class StarkMachine:
 
         # structural pre-check of the opened-value layout this shard's
         # zeta checks will index into (verify_rounds re-checks shapes for
-        # the PCS math; the batched checks below need them valid first)
-        opened = sp.pcs_proof.opened
+        # the PCS math; the batched checks below need them valid first).
+        # The proof_view holds the opened values as (n_points, w, 4)
+        # arrays; a malformed proof fails the view build itself.
+        from . import proof_view
+        view = proof_view.get(sp.pcs_proof)
+        if view is None:
+            return None
+        opened = view.opened
         if len(opened) != len(rounds_widths):
             return None
         for rv, ws, rnd_pts in zip(opened, rounds_widths, rounds_points):
             if len(rv) != len(ws):
                 return None
             for mv, w, pts in zip(rv, ws, rnd_pts):
-                if len(mv) != len(pts):
+                if mv.shape[0] != len(pts):
                     return None
-                for ys in mv:
-                    if len(ys) != w or any(len(y) != 4 for y in ys):
-                        return None
+                if mv.shape[0] and mv.shape[1] != w:
+                    return None
 
         return {
             "chips": chips, "builders": builders, "r": r, "gamma": gamma,
@@ -686,6 +692,7 @@ class StarkMachine:
             "roots": roots, "rounds_widths": rounds_widths,
             "rounds_lhs": rounds_lhs, "rounds_points": rounds_points,
             "prep_round_idx": prep_round_idx, "sp": sp, "ch": ch,
+            "view": view,
         }
 
     def _native_constraint_vals(self, builder, k, main_local, main_next,
@@ -784,6 +791,7 @@ class StarkMachine:
                 else None
 
             def stack(rnd_key, midx_fn, point_i):
+                # view.opened[r][m] is (n_points, w, 4) already mod p
                 rows = []
                 for info, i, cp in insts:
                     has_prep = info["prep_round_idx"] is not None
@@ -791,9 +799,9 @@ class StarkMachine:
                     r_idx = {"prep": info["prep_round_idx"],
                              "main": main_r, "perm": main_r + 1,
                              "quot": main_r + 2}[rnd_key]
-                    rows.append(info["sp"].pcs_proof
+                    rows.append(info["view"]
                                 .opened[r_idx][midx_fn(i)][point_i])
-                return np.asarray(rows, U64) % np.uint64(bb.P)
+                return np.stack(rows).astype(U64)
 
             main_local = stack("main", lambda i: i, 0)
             main_next = stack("main", lambda i: i, 1)

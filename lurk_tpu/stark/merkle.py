@@ -137,6 +137,35 @@ class _Job:
                 self.tacks[step] = stack_rows(at_this)
         self.digest = None
 
+    @classmethod
+    def from_arrays(cls, root, depth: int, idx: np.ndarray,
+                    leaf_mat: np.ndarray, paths) -> "_Job":
+        """Array fast path (proof_view): pre-stacked leaf rows (nq, W)
+        reduced mod p, sibling paths (nq, depth, 8) or None for depth 0,
+        query indices (nq,). Same acceptance set as __init__ for trees
+        whose matrices all live at the max height (the only shape the PCS
+        produces: commitment rounds group by height, FRI trees hold one
+        matrix), so `tacks` is always empty here."""
+        job = cls.__new__(cls)
+        nq = leaf_mat.shape[0]
+        if paths is None:
+            if depth != 0:
+                raise VerificationShapeError
+        elif paths.shape != (nq, depth, 8):
+            raise VerificationShapeError
+        if idx.shape != (nq,):
+            raise VerificationShapeError
+        job.root = np.asarray(root, np.uint32)
+        if job.root.shape != (8,):
+            raise VerificationShapeError
+        job.depth = depth
+        job.idx = np.asarray(idx, np.int64)
+        job.leaf_mat = leaf_mat
+        job.paths = paths
+        job.tacks = {}
+        job.digest = None
+        return job
+
 
 class VerificationShapeError(Exception):
     pass
@@ -167,6 +196,21 @@ class MultiVerifier:
             self.jobs.append(_Job(root, heights, indices, openings))
         except (VerificationShapeError, OverflowError, ValueError,
                 TypeError):
+            self.failed = True
+            return False
+        return True
+
+    def add_arrays(self, root: Digest, depth: int, idx: np.ndarray,
+                   leaf_mat: np.ndarray, paths) -> bool:
+        """Register one tree's openings from proof_view arrays (see
+        _Job.from_arrays); returns False on malformed shape."""
+        if self.failed:
+            return False
+        try:
+            self.jobs.append(_Job.from_arrays(root, depth, idx,
+                                              leaf_mat, paths))
+        except (VerificationShapeError, OverflowError, ValueError,
+                TypeError, AttributeError):
             self.failed = True
             return False
         return True

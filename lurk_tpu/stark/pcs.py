@@ -242,28 +242,36 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
                   trace_log_heights: List[List[int]],
                   points: List[List[List[tuple]]],
                   proof: PcsProof, config: FriConfig,
-                  challenger: Challenger, multi=None) -> bool:
+                  challenger: Challenger, multi=None, view=None) -> bool:
     """roots[r] = per-round roots (height desc); widths/trace_log_heights
     describe each round's matrices (trace heights; LDE adds LOG_BLOWUP).
 
     With an external `multi` (merkle.MultiVerifier), Merkle jobs are only
     REGISTERED here; the caller runs them - the machine verifier shares
-    one MultiVerifier across all shards so the hashing batches globally."""
-    opened = proof.opened
+    one MultiVerifier across all shards so the hashing batches globally.
+
+    `view` (stark/proof_view.PcsView) supplies the proof's contents as
+    pre-converted arrays; built here when absent. view=None after a build
+    attempt means the proof is structurally malformed -> reject."""
+    if view is None:
+        from . import proof_view
+        view = proof_view.get(proof)
+        if view is None:
+            return False
+    opened = view.opened
     if len(opened) != len(points):
         return False
-    flat_opened: List[int] = []
-    for rv, rnd_points in zip(opened, points):
+    for rv, rnd_points, ws in zip(opened, points, widths):
         if len(rv) != len(rnd_points):
             return False
-        for mv, pts in zip(rv, rnd_points):
-            if len(mv) != len(pts):
+        for mv, pts, w in zip(rv, rnd_points, ws):
+            # mv: (n_points, w, 4); zero-point matrices decode as (0,0,4)
+            if mv.shape[0] != len(pts):
                 return False
-            for ys in mv:
-                for y in ys:
-                    flat_opened.extend(y)
+            if mv.shape[0] and mv.shape[1] != w:
+                return False
     # same transcript order as per-value observes, one native absorb call
-    challenger.observe_many(flat_opened)
+    challenger.observe_many(view.opened_flat)
     alpha = challenger.sample_ext()
 
     lde_lhs = [[lh + LOG_BLOWUP for lh in rnd] for rnd in trace_log_heights]
@@ -280,18 +288,34 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
                   for r in range(len(roots))
                   for m, w in enumerate(widths[r]))
     all_apows = ext_powers(alpha, total_w)
+    # y_alpha for every (round, matrix, point) in one vectorized pass:
+    # concatenate the opened (w, 4) blocks in transcript order, multiply
+    # by the shared alpha-power table, segment-sum per block (reduceat;
+    # values < 2^31 so uint64 holds any realistic block sum exactly)
+    y_blocks = [opened[r][m][pi]
+                for r in range(len(roots))
+                for m in range(len(widths[r]))
+                for pi in range(len(points[r][m]))]
+    if y_blocks:
+        y_cat = np.concatenate(y_blocks, axis=0)          # (total_w, 4)
+        if y_cat.shape[0] != total_w:
+            return False
+        terms = E.emul(all_apows, y_cat)
+        starts = np.cumsum([0] + [b.shape[0] for b in y_blocks[:-1]])
+        y_alphas = np.add.reduceat(terms, starts, axis=0) % _P
+    else:
+        y_alphas = np.zeros((0, 4), U)
     pts_cache: Dict[Tuple[int, int], list] = {}
     alpha_cnt = 0
+    blk = 0
     for r in range(len(roots)):
         for m, w in enumerate(widths[r]):
             entries = []
-            for z, ys in zip(points[r][m], opened[r][m]):
+            for z in points[r][m]:
                 apows = all_apows[alpha_cnt:alpha_cnt + w]
                 alpha_cnt += w
-                y_alpha = tuple(
-                    int(v) for v in
-                    E.emul(apows, np.asarray(ys, U)).sum(axis=0) % _P)
-                entries.append((z, apows, y_alpha))
+                entries.append((z, apows, y_alphas[blk]))
+                blk += 1
             pts_cache[(r, m)] = entries
 
     nq = config.num_queries
@@ -325,15 +349,13 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
             if gi is None:
                 raise VerificationError("matrix missing from groups")
             w = widths[r][m]
-            rows = []
-            for per_round in proof.query_openings:
-                e_log, opening = per_round[r][gi]
-                if pos >= len(opening.rows) or \
-                        len(opening.rows[pos]) != w:
-                    raise VerificationError("opening rows truncated")
-                rows.append(opening.rows[pos])
-            # hostile values surface as OverflowError/ValueError -> caught
-            segs.append(np.asarray(rows, U) % _P)            # (nq, w)
+            if r >= len(view.qo_rows) or gi >= len(view.qo_rows[r]) or \
+                    pos >= len(view.qo_rows[r][gi]):
+                raise VerificationError("opening rows missing")
+            arr = view.qo_rows[r][gi][pos]
+            if arr.shape != (nq_, w):
+                raise VerificationError("opening rows truncated")
+            segs.append(arr % _P)                            # (nq, w)
             offs.append(off)
             off += w
         rows_concat = np.concatenate(segs, axis=1)           # (nq, W)
@@ -384,25 +406,28 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
         deferred = multi is not None
         if multi is None:
             multi = merkle.MultiVerifier()
+        if len(view.qo_elog) != len(roots) and nq:
+            return False
         for r, rnd_roots in enumerate(roots):
             groups = round_groups[r]
             if len(rnd_roots) != len(groups):
                 return False
+            if nq and len(view.qo_elog[r]) != len(groups):
+                return False
             for g, ((log_H, midxs), root) in enumerate(zip(groups,
                                                            rnd_roots)):
-                openings = []
-                for per_round in proof.query_openings:
-                    e_log, opening = per_round[r][g]
-                    if e_log != log_H:
-                        return False
-                    openings.append(opening)
-                heights = [1 << log_H] * len(midxs)
-                if not multi.add(root, heights, q_arr % (1 << log_H),
-                                 openings):
+                if view.qo_elog[r][g] != log_H:
+                    return False
+                if len(view.qo_rows[r][g]) != len(midxs):
+                    return False
+                if not multi.add_arrays(root, log_H,
+                                        q_arr % (1 << log_H),
+                                        view.qo_leaf[r][g],
+                                        view.qo_paths[r][g]):
                     return False
 
         if not fri.verify(proof.fri_proof, config, max_log, input_values_fn,
-                          challenger, multi=multi):
+                          challenger, multi=multi, view=view):
             return False
         return True if deferred else multi.run()
     except (VerificationError, OverflowError, ValueError, TypeError):

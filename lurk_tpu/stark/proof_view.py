@@ -1,0 +1,198 @@
+"""Numpy view of a PcsProof for the millisecond verifier.
+
+The proof wire format is nested python lists (utils/codec); the verifier
+math is numpy/native. Converting lists piecemeal at every use dominated
+warm verify time (VERDICT round-3 item #2: ~80ms/verify of np.asarray on
+a single-shard fib(500) proof). This module converts the whole proof to
+flat uint64 arrays ONCE per proof object and caches the result keyed by
+object identity, so repeated verifies (proving services, bench warm runs)
+pay zero conversion.
+
+Cache-coherence invariant: a PcsProof must not be mutated in place after
+its first verification. All in-repo callers (and the tamper tests, which
+deepcopy before mutating) respect this; a deepcopy gets a fresh identity
+and therefore a fresh view. The registry holds no strong reference to the
+proof - entries die with the proof object.
+
+A malformed proof (ragged shapes, non-int leaves, ints >= 2^64) yields
+view = None and the verifier rejects, mirroring the pre-view behavior
+where such shapes surfaced as OverflowError/ValueError and were caught.
+
+Reference parity anchor: the sphinx verifier deserializes straight into
+typed field-element matrices (src/core/cli/proofs.rs:22-28 holds the
+already-typed `ShardProof`), so list->array conversion cost simply does
+not exist there; this view is the equivalent for the python wire format.
+"""
+
+from __future__ import annotations
+
+import weakref
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..field import babybear as bb
+
+U = np.uint64
+_P = U(bb.P)
+
+
+@dataclass
+class PcsView:
+    # opened[r][m]: (n_points, w, 4) uint64, reduced mod P
+    opened: list
+    # all opened values flattened in transcript order, reduced mod P
+    opened_flat: np.ndarray
+    # (nq, n_layers, 8) uint64, RAW (FRI does its own canonicity check)
+    pair_rows: np.ndarray
+    pair_canonical: bool
+    # per FRI layer: (nq, depth_l, 8) uint64 sibling digests
+    fri_paths: list
+    # qo_elog[r][g]: the claimed log-height (uniform across queries)
+    qo_elog: list
+    # qo_rows[r][g][mi]: (nq, w) uint64 opened leaf rows, RAW
+    qo_rows: list
+    # qo_leaf[r][g]: (nq, sum_w) uint64 hstacked rows reduced mod P
+    qo_leaf: list
+    # qo_paths[r][g]: (nq, depth, 8) uint64 sibling digests
+    qo_paths: list
+
+
+_REGISTRY: dict = {}
+
+
+def get(pcs_proof) -> Optional[PcsView]:
+    """Cached view of `pcs_proof`, building it on first use; None if the
+    proof is structurally malformed (the caller must reject)."""
+    key = id(pcs_proof)
+    hit = _REGISTRY.get(key)
+    if hit is not None:
+        return hit[0]
+    view = _build(pcs_proof)
+    if view is None:
+        return None
+    try:
+        finalizer = weakref.finalize(pcs_proof, _REGISTRY.pop, key, None)
+    except TypeError:
+        return view  # not weakref-able: still valid, just uncached
+    _REGISTRY[key] = (view, finalizer)
+    return view
+
+
+def _arr(x, dtype=U) -> np.ndarray:
+    """Strict ndarray conversion: hostile values (ragged nesting, ints
+    >= 2^64, non-numeric) raise and the builder rejects the proof."""
+    a = np.asarray(x, dtype)
+    if a.dtype != dtype:
+        raise ValueError("non-uniform proof leaf")
+    return a
+
+
+def _build(proof) -> Optional[PcsView]:
+    try:
+        return _build_inner(proof)
+    except (OverflowError, ValueError, TypeError, AttributeError,
+            IndexError, KeyError):
+        return None
+
+
+def _build_inner(proof) -> Optional[PcsView]:
+    # ---- opened values ---------------------------------------------------
+    opened: List[list] = []
+    flat_parts: List[np.ndarray] = []
+    for rv in proof.opened:
+        row = []
+        for mv in rv:
+            if len(mv) == 0:
+                a = np.zeros((0, 0, 4), U)
+            else:
+                a = _arr(mv)
+                if a.ndim != 3 or a.shape[2] != 4:
+                    return None
+                a = a % _P
+            row.append(a)
+            flat_parts.append(a.reshape(-1))
+        opened.append(row)
+    opened_flat = (np.concatenate(flat_parts)
+                   if flat_parts else np.zeros(0, U))
+
+    # ---- FRI queries -----------------------------------------------------
+    fri_proof = proof.fri_proof
+    queries = fri_proof.queries
+    nq = len(queries)
+    n_layers = len(fri_proof.layer_roots)
+    for q in queries:
+        if len(q.steps) != n_layers:
+            return None
+    if nq and n_layers:
+        pair_rows = _arr([[s.pair_row for s in q.steps] for q in queries])
+        if pair_rows.shape != (nq, n_layers, 8):
+            return None
+    else:
+        pair_rows = np.zeros((nq, n_layers, 8), U)
+    pair_canonical = bool(np.all(pair_rows < _P))
+    fri_paths = []
+    for layer in range(n_layers):
+        if nq == 0:
+            fri_paths.append(np.zeros((0, 0, 8), U))
+            continue
+        p = _arr([q.steps[layer].path for q in queries])
+        if p.ndim == 2 and p.shape[1] == 0:
+            p = p.reshape(nq, 0, 8)
+        if p.ndim != 3 or p.shape[0] != nq or p.shape[2] != 8:
+            return None
+        fri_paths.append(p)
+
+    # ---- per-query commitment-round openings -----------------------------
+    qo = proof.query_openings
+    if len(qo) != nq:
+        return None
+    qo_elog: List[list] = []
+    qo_rows: List[list] = []
+    qo_leaf: List[list] = []
+    qo_paths: List[list] = []
+    if nq:
+        n_rounds = len(qo[0])
+        for per_round in qo:
+            if len(per_round) != n_rounds:
+                return None
+        for r in range(n_rounds):
+            n_groups = len(qo[0][r])
+            for per_round in qo:
+                if len(per_round[r]) != n_groups:
+                    return None
+            elogs, rows_r, leaf_r, paths_r = [], [], [], []
+            for g in range(n_groups):
+                e_log0 = qo[0][r][g][0]
+                n_mats = len(qo[0][r][g][1].rows)
+                for per_round in qo:
+                    e_log, op = per_round[r][g]
+                    if e_log != e_log0 or len(op.rows) != n_mats:
+                        return None
+                mats = []
+                for mi in range(n_mats):
+                    a = _arr([per_round[r][g][1].rows[mi]
+                              for per_round in qo])
+                    if a.ndim == 1:       # zero-width rows
+                        a = a.reshape(nq, 0)
+                    if a.ndim != 2:
+                        return None
+                    mats.append(a)
+                p = _arr([per_round[r][g][1].path for per_round in qo])
+                if p.ndim == 2 and p.shape[1] == 0:
+                    p = p.reshape(nq, 0, 8)
+                if p.ndim != 3 or p.shape[2] != 8:
+                    return None
+                elogs.append(int(e_log0))
+                rows_r.append(mats)
+                leaf_r.append((np.hstack(mats) if len(mats) > 1
+                               else mats[0]) % _P)
+                paths_r.append(p)
+            qo_elog.append(elogs)
+            qo_rows.append(rows_r)
+            qo_leaf.append(leaf_r)
+            qo_paths.append(paths_r)
+
+    return PcsView(opened, opened_flat, pair_rows, pair_canonical,
+                   fri_paths, qo_elog, qo_rows, qo_leaf, qo_paths)
