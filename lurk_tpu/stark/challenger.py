@@ -67,10 +67,18 @@ class Challenger:
             for v in values:
                 self.observe(v)
             return
-        if isinstance(values, np.ndarray):
-            # array fast path (proof_view absorbs): vectorized reduction
-            vals = (values.astype(np.uint64, copy=False)
-                    % np.uint64(bb.P)).astype(np.uint32).ravel()
+        if isinstance(values, np.ndarray) and \
+                values.dtype.kind in ("u", "i"):
+            # array fast path (proof_view absorbs): vectorized reduction.
+            # int64 % uint64 would promote to float in numpy, so signed
+            # inputs go through int64 modulo (P fits in int64; absorbed
+            # values are never negative in any caller).
+            if values.dtype.kind == "u":
+                vals = (values.astype(np.uint64, copy=False)
+                        % np.uint64(bb.P)).astype(np.uint32).ravel()
+            else:
+                vals = (values.astype(np.int64, copy=False)
+                        % np.int64(bb.P)).astype(np.uint32).ravel()
         else:
             vals = np.asarray([int(v) % bb.P for v in values], np.uint32)
         if vals.size == 0:

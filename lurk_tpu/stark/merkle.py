@@ -251,36 +251,89 @@ class MultiVerifier:
         if not self.jobs:
             return True
         try:
-            for job, d in zip(self.jobs,
-                              self._hash_bucketed([j.leaf_mat
-                                                   for j in self.jobs])):
-                job.digest = d
-            max_depth = max(j.depth for j in self.jobs)
-            for step in range(max_depth):
-                active = [j for j in self.jobs if j.depth > step]
-                pairs = []
-                for j in active:
-                    sib = j.paths[:, step]
-                    odd = (j.idx & 1).astype(bool)[:, None]
-                    dig = j.digest.astype(np.uint64)
-                    pairs.append((np.where(odd, sib, dig),
-                                  np.where(odd, dig, sib)))
-                for j, d in zip(active, self._compress_concat(pairs)):
-                    j.digest = d
-                    j.idx = j.idx >> 1
-                tack_jobs = [j for j in active if step in j.tacks]
-                if tack_jobs:
-                    tacks = self._hash_bucketed([j.tacks[step]
-                                                 for j in tack_jobs])
-                    pairs = [(j.digest.astype(np.uint64),
-                              t.astype(np.uint64))
-                             for j, t in zip(tack_jobs, tacks)]
-                    for j, d in zip(tack_jobs, self._compress_concat(pairs)):
-                        j.digest = d
-            return all(bool(np.all(j.digest == j.root[None, :]))
-                       for j in self.jobs)
+            # jobs with level-absorbed shorter matrices (tacks) take the
+            # per-job loop; the PCS never commits mixed heights in one
+            # tree, so production verifies run the fully batched path
+            tacked = [j for j in self.jobs if j.tacks]
+            plain = [j for j in self.jobs if not j.tacks]
+            if tacked and not self._run_tacked(tacked):
+                return False
+            if not plain:
+                return True
+
+            # ---- fully batched: one compress call per LEVEL across all
+            # jobs. Sorted by depth desc, the active rows at any level
+            # are a prefix of the concatenation, so each level is one
+            # slice + one where-pair + one native compress.
+            plain.sort(key=lambda j: -j.depth)
+            for job, d in zip(plain, self._hash_bucketed(
+                    [j.leaf_mat for j in plain])):
+                job.digest = d.astype(np.uint64)
+            max_depth = plain[0].depth
+            nq_of = [j.leaf_mat.shape[0] for j in plain]
+            # rows active at level k = sum of nq over jobs with depth > k
+            active_rows = [sum(nq for j, nq in zip(plain, nq_of)
+                               if j.depth > k) for k in range(max_depth)]
+            dig = np.concatenate([j.digest for j in plain], axis=0)
+            idx = np.concatenate([j.idx for j in plain])
+            ends = np.cumsum(nq_of)
+            ok = True
+            for k in range(max_depth):
+                m = active_rows[k]
+                sib = np.concatenate(
+                    [j.paths[:, k] for j in plain if j.depth > k], axis=0)
+                odd = (idx[:m] & 1).astype(bool)[:, None]
+                d = dig[:m]
+                left = np.where(odd, sib, d)
+                right = np.where(odd, d, sib)
+                dig[:m] = hasher._compress_pairs_np(left, right)
+                idx[:m] >>= 1
+                # jobs finishing at this level: rows [next_m, m)
+                next_m = active_rows[k + 1] if k + 1 < max_depth else 0
+                if next_m < m:
+                    for j, e in zip(plain, ends):
+                        if j.depth == k + 1:
+                            got = dig[e - j.leaf_mat.shape[0]:e]
+                            ok &= bool(np.all(got == j.root[None, :]))
+            # depth-0 jobs: leaf digest IS the root claim
+            for j, e in zip(plain, ends):
+                if j.depth == 0:
+                    got = dig[e - j.leaf_mat.shape[0]:e]
+                    ok &= bool(np.all(got == j.root[None, :]))
+            return ok
         except (OverflowError, ValueError, TypeError):
             return False
+
+    def _run_tacked(self, jobs) -> bool:
+        """Per-job level loop for mixed-height trees (legacy add() path
+        with level-absorbed shorter matrices)."""
+        for job, d in zip(jobs, self._hash_bucketed([j.leaf_mat
+                                                     for j in jobs])):
+            job.digest = d
+        max_depth = max(j.depth for j in jobs)
+        for step in range(max_depth):
+            active = [j for j in jobs if j.depth > step]
+            pairs = []
+            for j in active:
+                sib = j.paths[:, step]
+                odd = (j.idx & 1).astype(bool)[:, None]
+                dig = j.digest.astype(np.uint64)
+                pairs.append((np.where(odd, sib, dig),
+                              np.where(odd, dig, sib)))
+            for j, d in zip(active, self._compress_concat(pairs)):
+                j.digest = d
+                j.idx = j.idx >> 1
+            tack_jobs = [j for j in active if step in j.tacks]
+            if tack_jobs:
+                tacks = self._hash_bucketed([j.tacks[step]
+                                             for j in tack_jobs])
+                pairs = [(j.digest.astype(np.uint64),
+                          t.astype(np.uint64))
+                         for j, t in zip(tack_jobs, tacks)]
+                for j, d in zip(tack_jobs, self._compress_concat(pairs)):
+                    j.digest = d
+        return all(bool(np.all(j.digest == j.root[None, :]))
+                   for j in jobs)
 
 
 def verify_openings_batch(root: Digest, heights: List[int],
