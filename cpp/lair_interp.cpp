@@ -1674,6 +1674,107 @@ void lair_hash_rows(const u32* consts, u64 consts_len, const u64* mat,
 #endif
 }
 
+// Merkle path walk for a batch of opening-verification jobs (the verifier's
+// MultiVerifier.run hot loop, stark/merkle.py). Jobs are pre-sorted by depth
+// descending and concatenated, so the rows active at level k form the prefix
+// [0, active[k]). Per level, each active row compresses
+// [left || right] = parity-select(idx, digest, sibling) through the width-16
+// permutation, keeping the first 8 limbs. dig (n, 8) u32 holds leaf digests
+// in and final (per-job root candidates) out; paths is (n, max_depth, 8) u64
+// (rows beyond a job's depth are ignored); idx (n,) is shifted in place.
+// Sibling u64 values truncate to u32 exactly like lair_poseidon_batch's
+// callers do (np.uint32 cast), preserving the python path's acceptance set.
+void lair_merkle_walk(const u32* consts, u64 consts_len, u32* dig,
+                      const u64* paths, u64* idx, const u64* active,
+                      u64 n, u64 max_depth) {
+  PoseidonCfg cfg;
+  Reader pr{consts, consts + consts_len};
+  cfg.width = pr.next();
+  cfg.r_f = pr.next();
+  cfg.r_p = pr.next();
+  cfg.full_rc.resize((size_t)cfg.r_f * cfg.width);
+  for (auto& x : cfg.full_rc) x = pr.next();
+  cfg.part_rc.resize(cfg.r_p);
+  for (auto& x : cfg.part_rc) x = pr.next();
+  cfg.diag.resize(cfg.width);
+  for (auto& x : cfg.diag) x = pr.next();
+  if (cfg.width != 16) return;   // STARK config hasher is width 16
+#ifdef LAIR_P2_AVX512
+  p2v::CfgMont mcfg(cfg);
+#elif defined(LAIR_P2_SSE)
+  p2s::CfgMont mcfg(cfg);
+#endif
+  for (u64 k = 0; k < max_depth; k++) {
+    u64 m = active[k];
+    auto level = [&, k](u64 lo, u64 hi) {
+      u32 in[8][16];
+      u64 r = lo;
+#ifdef LAIR_P2_AVX512
+      alignas(64) u64 tmp[8];
+      __m512i s[16];
+      const __m512i r2 = p2v::vset(p2v::R2), one = p2v::vset(1);
+      for (; r + 8 <= hi; r += 8) {
+        for (u32 q = 0; q < 8; q++) {
+          const u64* sib = paths + ((r + q) * max_depth + k) * 8;
+          const u32* d = dig + (r + q) * 8;
+          bool odd = idx[r + q] & 1;
+          for (int j = 0; j < 8; j++) {
+            in[q][j] = odd ? (u32)sib[j] : d[j];
+            in[q][8 + j] = odd ? d[j] : (u32)sib[j];
+          }
+        }
+        for (u32 c = 0; c < 16; c++) {
+          for (u32 q = 0; q < 8; q++) tmp[q] = in[q][c];
+          s[c] = p2v::mont_mul(_mm512_load_si512(tmp), r2);
+        }
+        p2v::perm8(mcfg, s);
+        for (u32 c = 0; c < 8; c++) {
+          _mm512_store_si512(tmp, p2v::mont_mul(s[c], one));
+          for (u32 q = 0; q < 8; q++) dig[(r + q) * 8 + c] = (u32)tmp[q];
+        }
+      }
+#elif defined(LAIR_P2_SSE)
+      alignas(16) u32 tmp[4];
+      __m128i s[16];
+      const __m128i r2 = p2s::vset(p2s::R2), one = p2s::vset(1);
+      for (; r + 4 <= hi; r += 4) {
+        for (u32 q = 0; q < 4; q++) {
+          const u64* sib = paths + ((r + q) * max_depth + k) * 8;
+          const u32* d = dig + (r + q) * 8;
+          bool odd = idx[r + q] & 1;
+          for (int j = 0; j < 8; j++) {
+            in[q][j] = odd ? (u32)sib[j] : d[j];
+            in[q][8 + j] = odd ? d[j] : (u32)sib[j];
+          }
+        }
+        for (u32 c = 0; c < 16; c++) {
+          for (u32 q = 0; q < 4; q++) tmp[q] = in[q][c];
+          s[c] = p2s::mont_mul(_mm_load_si128((const __m128i*)tmp), r2);
+        }
+        p2s::perm4(mcfg, s);
+        for (u32 c = 0; c < 8; c++) {
+          _mm_store_si128((__m128i*)tmp, p2s::mont_mul(s[c], one));
+          for (u32 q = 0; q < 4; q++) dig[(r + q) * 8 + c] = tmp[q];
+        }
+      }
+#endif
+      for (; r < hi; r++) {
+        const u64* sib = paths + (r * max_depth + k) * 8;
+        const u32* d = dig + r * 8;
+        bool odd = idx[r] & 1;
+        for (int j = 0; j < 8; j++) {
+          in[0][j] = odd ? (u32)sib[j] : d[j];
+          in[0][8 + j] = odd ? d[j] : (u32)sib[j];
+        }
+        poseidon2(cfg, in[0]);
+        for (int j = 0; j < 8; j++) dig[r * 8 + j] = in[0][j];
+      }
+    };
+    parallel_for(m, 128, level);
+    for (u64 r = 0; r < m; r++) idx[r] >>= 1;
+  }
+}
+
 // In-place radix-2 DIT NTT stages over a (n, w) row-major matrix whose rows
 // were already bit-reverse permuted by the caller. `twiddles` is the
 // concatenation of per-stage canonical twiddle tables (stage s has 2^s

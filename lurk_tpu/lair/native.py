@@ -403,6 +403,33 @@ def poseidon_batch(width: int, states: np.ndarray) -> np.ndarray:
 
 
 @lru_cache(maxsize=1)
+def _merkle_walk_fn():
+    lib = _lib()
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.lair_merkle_walk.restype = None
+    lib.lair_merkle_walk.argtypes = [u32p, ctypes.c_uint64, u32p, u64p,
+                                     u64p, u64p, ctypes.c_uint64,
+                                     ctypes.c_uint64]
+    return lib.lair_merkle_walk
+
+
+def merkle_walk(dig: np.ndarray, paths: np.ndarray, idx: np.ndarray,
+                active: np.ndarray) -> None:
+    """Climb all Merkle paths natively (verifier hot loop): dig (n, 8)
+    uint32 leaf digests -> final digests IN PLACE; paths (n, max_depth, 8)
+    uint64 siblings (rows past a job's depth ignored — jobs sorted by
+    depth desc, active[k] = rows live at level k); idx (n,) uint64 query
+    indices, shifted in place. Threaded C++, one w16 compress per
+    (row, level)."""
+    consts = _poseidon_consts_blob(16)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    _merkle_walk_fn()(consts.ctypes.data_as(u32p), len(consts),
+                      dig.ctypes.data_as(u32p), _u64p(paths), _u64p(idx),
+                      _u64p(active), dig.shape[0], paths.shape[1])
+
+
+@lru_cache(maxsize=1)
 def _challenger_fn():
     lib = _lib()
     u32p = ctypes.POINTER(ctypes.c_uint32)

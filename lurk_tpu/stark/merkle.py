@@ -274,9 +274,16 @@ class MultiVerifier:
             # rows active at level k = sum of nq over jobs with depth > k
             active_rows = [sum(nq for j, nq in zip(plain, nq_of)
                                if j.depth > k) for k in range(max_depth)]
+            ends = np.cumsum(nq_of)
+
+            walked = self._walk_native(plain, nq_of, active_rows, max_depth)
+            if walked is not None:
+                return all(
+                    bool(np.all(walked[e - nq:e] == j.root[None, :]))
+                    for j, e, nq in zip(plain, ends, nq_of))
+
             dig = np.concatenate([j.digest for j in plain], axis=0)
             idx = np.concatenate([j.idx for j in plain])
-            ends = np.cumsum(nq_of)
             ok = True
             for k in range(max_depth):
                 m = active_rows[k]
@@ -303,6 +310,37 @@ class MultiVerifier:
             return ok
         except (OverflowError, ValueError, TypeError):
             return False
+
+    @staticmethod
+    def _walk_native(plain, nq_of, active_rows, max_depth):
+        """Climb every job's path in one native call (threaded C++, one
+        w16 compress per (row, level)); returns the (n, 8) final digest
+        array, or None when the native library is unavailable (caller
+        falls back to the numpy level loop). Sibling u64 limbs truncate
+        to u32 exactly as the numpy path's poseidon_batch cast does, so
+        the acceptance set is identical."""
+        from ..lair import native
+        if not native.native_available():
+            return None
+        dig = np.ascontiguousarray(
+            np.concatenate([j.digest for j in plain], axis=0), np.uint32)
+        if max_depth == 0:
+            return dig
+        idx = np.ascontiguousarray(
+            np.concatenate([j.idx for j in plain]), np.uint64)
+        n = dig.shape[0]
+        paths = np.zeros((n, max_depth, 8), np.uint64)
+        off = 0
+        for j, nq in zip(plain, nq_of):
+            if j.depth:
+                paths[off:off + nq, :j.depth] = j.paths
+            off += nq
+        try:
+            native.merkle_walk(dig, paths, idx,
+                               np.asarray(active_rows, np.uint64))
+        except Exception:
+            return None  # stale library without the walk entry point
+        return dig
 
     def _run_tacked(self, jobs) -> bool:
         """Per-job level loop for mixed-height trees (legacy add() path
