@@ -124,7 +124,34 @@ def bench_lurk_fib500():
     t0 = time.perf_counter()
     ok = machine.verify(vk, proof, Challenger())
     verify_s = time.perf_counter() - t0
-    return prove_s, verify_s, bool(ok and ok_first)
+    return prove_s, verify_s, bool(ok and ok_first), machine, vk
+
+
+def bench_lurk_fib100k_verify(machine, vk):
+    """Warm (min-of-5) verification seconds for the checked-in 4-shard
+    fib(100000) production proof (proven and verified on the live v5e;
+    benches/lurk_bench.py --save-proof regenerates it after any machine
+    change). This is the artifact behind the 'verifiable in milliseconds'
+    headline (reference: README.md:9-13) — the warm number is what a
+    proving service pays per re-verify with the proof view cached."""
+    import gzip
+    from lurk_tpu.stark.challenger import Challenger
+    from lurk_tpu.utils import codec
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benches", "artifacts",
+                        "fib100k_4shard_proof.bin.gz")
+    with gzip.open(path, "rb") as f:
+        proof = codec.decode(f.read())
+    t0 = time.perf_counter()
+    ok = machine.verify(vk, proof, Challenger())
+    cold_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        ok = ok and machine.verify(vk, proof, Challenger())
+        ts.append(time.perf_counter() - t0)
+    return cold_s, min(ts), len(proof.shard_proofs), bool(ok)
 
 
 def _device_backend_alive(probe_timeouts=(90, 150, 180)) -> bool:
@@ -235,11 +262,21 @@ def main():
         # the real product path (full Lurk machine, host-native prover);
         # ~30s budget, guarded like the prove section
         try:
-            prove_s, verify_s, ok = bench_lurk_fib500()
+            prove_s, verify_s, ok, machine, vk = bench_lurk_fib500()
             line["lurk_fib500_prove_steady_s"] = round(prove_s, 2)
             line["lurk_verify_s"] = round(verify_s, 3)
             line["lurk_fib500_verified"] = ok
             line["lurk_config"] = "production(q=100,pow=16)"
+            try:
+                cold, warm, shards, ok100k = \
+                    bench_lurk_fib100k_verify(machine, vk)
+                line["lurk_fib100k_verify_warm_s"] = round(warm, 3)
+                line["lurk_fib100k_verify_cold_s"] = round(cold, 3)
+                line["lurk_fib100k_verify_shards"] = shards
+                line["lurk_fib100k_verified"] = ok100k
+            except Exception as e:
+                line["lurk_fib100k_verify_error"] = \
+                    f"{type(e).__name__}: {e}"[:200]
         except Exception as e:
             line["lurk_fib500_error"] = f"{type(e).__name__}: {e}"[:200]
     if not on_fallback:

@@ -237,7 +237,10 @@ def verify(proof: FriProof, config: FriConfig, max_log: int,
             j = idx % half
             if view is not None and multi is not None:
                 rows = view.pair_rows[:, layer]          # (nq, 8) raw
-                if not multi.add_arrays(root, log_n - 1, j, rows % P,
+                # fri_leaves[layer] is the reduced copy of these rows,
+                # identity-stable so a prehashed digest can be reused
+                if not multi.add_arrays(root, log_n - 1, j,
+                                        view.fri_leaves[layer],
                                         view.fri_paths[layer]):
                     return False
             else:

@@ -540,24 +540,40 @@ class StarkMachine:
             infos.append(info)
         _vlog("shard transcripts")
 
-        # Phase 2 (batched across shards): the constraint check at zeta,
-        # one DAG walk per distinct chip over all its shard instances.
-        if not self._batched_zeta_checks(vk, infos, pv):
-            return False
-        _vlog("zeta checks")
-
-        # Phase 3: PCS verification per shard with ONE MultiVerifier so
-        # the Merkle hashing of every shard's openings batches globally.
+        # The Merkle leaf matrices are proof-static (no challenges
+        # involved), so their hashing — the single biggest verify cost —
+        # starts NOW on a background thread and runs under phases 2-3.
         multi = merkle.MultiVerifier()
-        for sp, info in zip(proof.shard_proofs, infos):
-            if not pcs.verify_rounds(info["roots"], info["rounds_widths"],
-                                     info["rounds_lhs"],
-                                     info["rounds_points"], sp.pcs_proof,
-                                     self.config, info["ch"], multi=multi,
-                                     view=info["view"]):
+        try:
+            multi.prehash_async([m for info in infos
+                                 for m in info["view"].leaf_mats()])
+
+            # Phase 2 (batched across shards): the constraint check at
+            # zeta, one DAG walk per distinct chip over all its shard
+            # instances.
+            if not self._batched_zeta_checks(vk, infos, pv):
                 return False
-        _vlog("pcs rounds")
-        if not multi.run():
+            _vlog("zeta checks")
+
+            # Phase 3: PCS verification per shard with ONE MultiVerifier.
+            # Each shard's Merkle jobs are flushed to the same background
+            # thread as soon as that shard's rounds are registered, so the
+            # path walks pipeline under the next shard's fold math;
+            # finish() joins and ANDs verdicts.
+            for sp, info in zip(proof.shard_proofs, infos):
+                if not pcs.verify_rounds(info["roots"],
+                                         info["rounds_widths"],
+                                         info["rounds_lhs"],
+                                         info["rounds_points"],
+                                         sp.pcs_proof, self.config,
+                                         info["ch"], multi=multi,
+                                         view=info["view"]):
+                    return False
+                multi.flush_async()
+            _vlog("pcs rounds")
+        finally:
+            merkle_ok = multi.finish()
+        if not merkle_ok:
             return False
         _vlog("merkle multi-run")
 

@@ -182,6 +182,11 @@ class MultiVerifier:
     def __init__(self):
         self.jobs: List[_Job] = []
         self.failed = False
+        self._async = None          # (queue, thread, result dict)
+        self._flushed = 0
+        # id(mat) -> (mat, digest): leaf digests precomputed by
+        # prehash_async (mat kept so the id can't be recycled)
+        self._digest_cache: dict = {}
 
     def add(self, root: Digest, heights: List[int], indices,
             openings: List["Opening"]) -> bool:
@@ -215,14 +220,17 @@ class MultiVerifier:
             return False
         return True
 
-    @staticmethod
-    def _hash_bucketed(mats: List[np.ndarray]) -> List[np.ndarray]:
+    def _hash_bucketed(self, mats: List[np.ndarray]) -> List[np.ndarray]:
         """Row-hash many (n_i, w_i) matrices, one native call per distinct
-        width."""
+        width; matrices already prehashed (by identity) are skipped."""
         outs: List[np.ndarray] = [None] * len(mats)
         by_width = {}
         for i, m in enumerate(mats):
-            by_width.setdefault(m.shape[1], []).append(i)
+            hit = self._digest_cache.get(id(m))
+            if hit is not None and hit[0] is m:
+                outs[i] = hit[1]
+            else:
+                by_width.setdefault(m.shape[1], []).append(i)
         for w, idxs in by_width.items():
             stacked = np.concatenate([mats[i] for i in idxs], axis=0)
             digests = hasher._hash_rows_np(stacked)
@@ -251,66 +259,140 @@ class MultiVerifier:
         if not self.jobs:
             return True
         try:
-            # jobs with level-absorbed shorter matrices (tacks) take the
-            # per-job loop; the PCS never commits mixed heights in one
-            # tree, so production verifies run the fully batched path
-            tacked = [j for j in self.jobs if j.tacks]
-            plain = [j for j in self.jobs if not j.tacks]
-            if tacked and not self._run_tacked(tacked):
-                return False
-            if not plain:
-                return True
-
-            # ---- fully batched: one compress call per LEVEL across all
-            # jobs. Sorted by depth desc, the active rows at any level
-            # are a prefix of the concatenation, so each level is one
-            # slice + one where-pair + one native compress.
-            plain.sort(key=lambda j: -j.depth)
-            for job, d in zip(plain, self._hash_bucketed(
-                    [j.leaf_mat for j in plain])):
-                job.digest = d.astype(np.uint64)
-            max_depth = plain[0].depth
-            nq_of = [j.leaf_mat.shape[0] for j in plain]
-            # rows active at level k = sum of nq over jobs with depth > k
-            active_rows = [sum(nq for j, nq in zip(plain, nq_of)
-                               if j.depth > k) for k in range(max_depth)]
-            ends = np.cumsum(nq_of)
-
-            walked = self._walk_native(plain, nq_of, active_rows, max_depth)
-            if walked is not None:
-                return all(
-                    bool(np.all(walked[e - nq:e] == j.root[None, :]))
-                    for j, e, nq in zip(plain, ends, nq_of))
-
-            dig = np.concatenate([j.digest for j in plain], axis=0)
-            idx = np.concatenate([j.idx for j in plain])
-            ok = True
-            for k in range(max_depth):
-                m = active_rows[k]
-                sib = np.concatenate(
-                    [j.paths[:, k] for j in plain if j.depth > k], axis=0)
-                odd = (idx[:m] & 1).astype(bool)[:, None]
-                d = dig[:m]
-                left = np.where(odd, sib, d)
-                right = np.where(odd, d, sib)
-                dig[:m] = hasher._compress_pairs_np(left, right)
-                idx[:m] >>= 1
-                # jobs finishing at this level: rows [next_m, m)
-                next_m = active_rows[k + 1] if k + 1 < max_depth else 0
-                if next_m < m:
-                    for j, e in zip(plain, ends):
-                        if j.depth == k + 1:
-                            got = dig[e - j.leaf_mat.shape[0]:e]
-                            ok &= bool(np.all(got == j.root[None, :]))
-            # depth-0 jobs: leaf digest IS the root claim
-            for j, e in zip(plain, ends):
-                if j.depth == 0:
-                    got = dig[e - j.leaf_mat.shape[0]:e]
-                    ok &= bool(np.all(got == j.root[None, :]))
-            return ok
+            return self._process(self.jobs)
         except (OverflowError, ValueError, TypeError):
             return False
 
+    def flush_async(self) -> None:
+        """Hand every not-yet-flushed job to a background hashing thread.
+
+        Pipelines the Merkle work (native, GIL-releasing) under the
+        caller's remaining transcript/fold math: the machine verifier
+        flushes after each shard's PCS round registration, so shard i's
+        hashing runs while shard i+1's numpy work proceeds. Call
+        finish() to collect the verdict (it also joins the thread)."""
+        self._ensure_worker()
+        batch = self.jobs[self._flushed:]
+        self._flushed = len(self.jobs)
+        if batch:
+            self._async[0].put(("jobs", batch))
+
+    def prehash_async(self, mats: List[np.ndarray]) -> None:
+        """Queue leaf matrices for background hashing ahead of job
+        registration. The digests are cached by array identity and reused
+        by _process, so hashing runs while the caller is still deriving
+        challenges — pass the SAME array objects later given to
+        add_arrays (proof_view guarantees stable identities)."""
+        self._ensure_worker()
+        if mats:
+            self._async[0].put(("prehash", mats))
+
+    def _ensure_worker(self) -> None:
+        import queue
+        import threading
+        if self._async is not None:
+            return
+        q: "queue.Queue" = queue.Queue()
+        res = {"ok": True, "err": None}
+
+        def work():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                kind, payload = item
+                if not res["ok"]:
+                    continue
+                try:
+                    if kind == "prehash":
+                        for m, d in zip(payload,
+                                        self._hash_bucketed(payload)):
+                            self._digest_cache[id(m)] = (m, d)
+                    elif not self._process(payload):
+                        res["ok"] = False
+                except (OverflowError, ValueError, TypeError):
+                    res["ok"] = False
+                except BaseException as e:       # verifier bug: re-raised
+                    res["err"] = e               # in finish(), not False
+                    res["ok"] = False
+
+        t = threading.Thread(target=work, daemon=True,
+                             name="merkle-verify")
+        t.start()
+        self._async = (q, t, res)
+
+    def finish(self) -> bool:
+        """Join the async worker (if any) and return the joint verdict.
+        Without a prior flush_async() this is just run()."""
+        if self._async is None:
+            return self.run()
+        self.flush_async()                      # tail jobs
+        q, t, res = self._async
+        q.put(None)
+        t.join()
+        self._async = None
+        if res["err"] is not None:
+            raise res["err"]
+        return (not self.failed) and res["ok"]
+
+    def _process(self, jobs: List[_Job]) -> bool:
+        # jobs with level-absorbed shorter matrices (tacks) take the
+        # per-job loop; the PCS never commits mixed heights in one
+        # tree, so production verifies run the fully batched path
+        tacked = [j for j in jobs if j.tacks]
+        plain = [j for j in jobs if not j.tacks]
+        if tacked and not self._run_tacked(tacked):
+            return False
+        if not plain:
+            return True
+
+        # ---- fully batched: one compress call per LEVEL across all
+        # jobs. Sorted by depth desc, the active rows at any level
+        # are a prefix of the concatenation, so each level is one
+        # slice + one where-pair + one native compress.
+        plain.sort(key=lambda j: -j.depth)
+        for job, d in zip(plain, self._hash_bucketed(
+                [j.leaf_mat for j in plain])):
+            job.digest = d.astype(np.uint64)
+        max_depth = plain[0].depth
+        nq_of = [j.leaf_mat.shape[0] for j in plain]
+        # rows active at level k = sum of nq over jobs with depth > k
+        active_rows = [sum(nq for j, nq in zip(plain, nq_of)
+                           if j.depth > k) for k in range(max_depth)]
+        ends = np.cumsum(nq_of)
+
+        walked = self._walk_native(plain, nq_of, active_rows, max_depth)
+        if walked is not None:
+            return all(
+                bool(np.all(walked[e - nq:e] == j.root[None, :]))
+                for j, e, nq in zip(plain, ends, nq_of))
+
+        dig = np.concatenate([j.digest for j in plain], axis=0)
+        idx = np.concatenate([j.idx for j in plain])
+        ok = True
+        for k in range(max_depth):
+            m = active_rows[k]
+            sib = np.concatenate(
+                [j.paths[:, k] for j in plain if j.depth > k], axis=0)
+            odd = (idx[:m] & 1).astype(bool)[:, None]
+            d = dig[:m]
+            left = np.where(odd, sib, d)
+            right = np.where(odd, d, sib)
+            dig[:m] = hasher._compress_pairs_np(left, right)
+            idx[:m] >>= 1
+            # jobs finishing at this level: rows [next_m, m)
+            next_m = active_rows[k + 1] if k + 1 < max_depth else 0
+            if next_m < m:
+                for j, e in zip(plain, ends):
+                    if j.depth == k + 1:
+                        got = dig[e - j.leaf_mat.shape[0]:e]
+                        ok &= bool(np.all(got == j.root[None, :]))
+        # depth-0 jobs: leaf digest IS the root claim
+        for j, e in zip(plain, ends):
+            if j.depth == 0:
+                got = dig[e - j.leaf_mat.shape[0]:e]
+                ok &= bool(np.all(got == j.root[None, :]))
+        return ok
     @staticmethod
     def _walk_native(plain, nq_of, active_rows, max_depth):
         """Climb every job's path in one native call (threaded C++, one

@@ -47,6 +47,9 @@ class PcsView:
     # (nq, n_layers, 8) uint64, RAW (FRI does its own canonicity check)
     pair_rows: np.ndarray
     pair_canonical: bool
+    # per FRI layer: (nq, 8) uint64 pair rows reduced mod P (the layer
+    # tree's leaf matrix; stable identity so digests can be precomputed)
+    fri_leaves: list
     # per FRI layer: (nq, depth_l, 8) uint64 sibling digests
     fri_paths: list
     # qo_elog[r][g]: the claimed log-height (uniform across queries)
@@ -57,6 +60,16 @@ class PcsView:
     qo_leaf: list
     # qo_paths[r][g]: (nq, depth, 8) uint64 sibling digests
     qo_paths: list
+
+    def leaf_mats(self) -> list:
+        """Every Merkle leaf matrix this proof's verification will hash
+        (commitment-round groups + FRI layer trees), as the exact array
+        objects later registered on the MultiVerifier — lets the machine
+        verifier prehash them in the background while transcript and
+        constraint math runs on the main thread."""
+        mats = [m for rnd in self.qo_leaf for m in rnd]
+        mats.extend(self.fri_leaves)
+        return mats
 
 
 _REGISTRY: dict = {}
@@ -132,6 +145,9 @@ def _build_inner(proof) -> Optional[PcsView]:
     else:
         pair_rows = np.zeros((nq, n_layers, 8), U)
     pair_canonical = bool(np.all(pair_rows < _P))
+    pair_modp = pair_rows % _P
+    fri_leaves = [np.ascontiguousarray(pair_modp[:, layer])
+                  for layer in range(n_layers)]
     fri_paths = []
     for layer in range(n_layers):
         if nq == 0:
@@ -195,4 +211,5 @@ def _build_inner(proof) -> Optional[PcsView]:
             qo_paths.append(paths_r)
 
     return PcsView(opened, opened_flat, pair_rows, pair_canonical,
-                   fri_paths, qo_elog, qo_rows, qo_leaf, qo_paths)
+                   fri_leaves, fri_paths, qo_elog, qo_rows, qo_leaf,
+                   qo_paths)
