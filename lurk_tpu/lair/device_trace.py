@@ -361,6 +361,8 @@ def _plans_for(chip_key) -> Optional[Dict[int, PathPlan]]:
     chip_key is the FuncChip itself (hashable by identity; FuncChips are
     cached per machine)."""
     chip = chip_key
+    if not hasattr(chip, "paths") or not hasattr(chip, "func"):
+        return None        # only FuncChips replay path programs
     plans = {}
     try:
         for ident in chip.paths:

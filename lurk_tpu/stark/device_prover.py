@@ -1923,15 +1923,26 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
     shard_roots = []
     kept_rounds = []      # per-shard DRound when keep_rounds
     shard_pendings = []   # else: per-shard deferred root buffers
+    dev_witness = _device_witness_enabled()
     for shard in shards:
         t0 = _time.perf_counter()
         chips = [c for c in machine.chips if chip_included(c, shard)]
         # upload each trace as soon as it's generated (device_put is
         # async): chip i's host->device copy overlaps chip i+1's host
-        # witness generation
+        # witness generation. Big extern-free func chips are populated
+        # ON DEVICE from their dense query streams (lair/device_trace.py)
+        # — the streams are ~3-4x smaller than the padded trace cells,
+        # which is the win that matters on a bandwidth-bound link.
         traces_np = []
         mats_dev = []
         for c in chips:
+            if dev_witness and c.num_rows(shard) >= _host_chip_min_rows():
+                from ..lair import device_trace
+                dev = device_trace.generate_trace_device(c, shard)
+                if dev is not None:
+                    traces_np.append(_DeviceGenTrace(dev.shape, c, shard))
+                    mats_dev.append(dev)
+                    continue
             t = np.asarray(c.generate_trace(shard), np.uint64)
             traces_np.append(t)
             mats_dev.append(jnp.asarray(t.astype(np.uint32)))
@@ -1975,7 +1986,8 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
         else:
             # recommit (deterministic): trades one extra commit per shard
             # for device memory bounded by a single shard
-            main_round = dcommit(traces_np)
+            main_round = dcommit([t.regen() if isinstance(t, _DeviceGenTrace)
+                                  else t for t in traces_np])
             assert main_round.roots == roots, \
                 "device main commitment is not deterministic"
             t0 = _tlog(f"shard{shard.index} recommit", t0)
@@ -1995,6 +2007,39 @@ def _generic_perm_enabled() -> bool:
     forces the per-chip DAG kernels (both are bit-exact vs the host)."""
     import os
     return os.environ.get("LURK_TPU_GENERIC_PERM", "1") != "0"
+
+
+def _device_witness_enabled() -> bool:
+    """Device-resident witness generation for big extern-free func chips
+    (lair/device_trace.py). Default on for accelerator backends; the CPU
+    backend keeps the threaded C++ host path, which beats jitted CPU-XLA
+    there. LURK_TPU_DEVICE_WITNESS=0/1 overrides."""
+    val = _os.environ.get("LURK_TPU_DEVICE_WITNESS", "")
+    if val in ("0", "1"):
+        return val == "1"
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+class _DeviceGenTrace:
+    """Placeholder in traces_np slots for device-generated traces: keeps
+    the shape (for the host/device routing decision) and can regenerate
+    the device matrix deterministically for the low-memory recommit."""
+
+    __slots__ = ("shape", "_chip", "_shard")
+
+    def __init__(self, shape, chip, shard):
+        self.shape = tuple(shape)
+        self._chip = chip
+        self._shard = shard
+
+    def regen(self):
+        from ..lair import device_trace
+        dev = device_trace.generate_trace_device(self._chip, self._shard)
+        assert dev is not None
+        return dev
 
 
 def _host_chip_min_rows() -> int:

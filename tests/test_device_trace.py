@@ -78,6 +78,26 @@ def test_device_trace_bit_exact(lurk_queries):
                 f"row {r} col {c}: device={dev[r, c]} host={host[r, c]}")
 
 
+def test_device_witness_prove_bit_exact(lurk_queries, monkeypatch):
+    """machine.prove(device=True) with device witness generation forced
+    produces the identical proof to the host-witness device prover."""
+    from lurk_tpu.core.stark_machine import new_machine
+    from lurk_tpu.stark.challenger import Challenger
+    from lurk_tpu.stark.fri import FriConfig
+    toplevel, queries = lurk_queries
+    machine = new_machine(toplevel, FriConfig(log_blowup=1, num_queries=2,
+                                              pow_bits=1))
+    pk, vk = machine.setup()
+    monkeypatch.setenv("LURK_TPU_DEVICE_CHIP_MIN_ROWS", "0")
+    monkeypatch.setenv("LURK_TPU_DEVICE_WITNESS", "0")
+    host_wit = machine.prove(pk, queries, Challenger(), device=True)
+    monkeypatch.setenv("LURK_TPU_DEVICE_WITNESS", "1")
+    dev_wit = machine.prove(pk, queries, Challenger(), device=True)
+    from lurk_tpu.utils import codec
+    assert codec.encode(dev_wit) == codec.encode(host_wit)
+    assert machine.verify(vk, dev_wit, Challenger())
+
+
 def test_device_trace_sharded_bit_exact(lurk_queries):
     """Multi-shard ranges exercise rng.start offsets in nonce/qidx."""
     import os
