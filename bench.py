@@ -154,36 +154,47 @@ def bench_lurk_fib100k_verify(machine, vk):
     return cold_s, min(ts), len(proof.shard_proofs), bool(ok)
 
 
-def _device_backend_alive(probe_timeouts=(90, 150, 180)) -> bool:
-    """Probe the device backend in a SUBPROCESS: a wedged device tunnel
-    hangs jax inside C (uninterruptible in-process), which would hang the
-    whole benchmark. On failure the bench falls back to CPU rather than
-    producing nothing.
+def _probe_device(discovery_timeout=60, dispatch_timeout=480):
+    """(alive, telemetry) — probe the device backend in SUBPROCESSES (a
+    wedged tunnel hangs jax inside C, uninterruptible in-process).
 
-    Round-2 postmortem (VERDICT.md "weak #1"): the tunnel's COLD start was
-    measured at 48s and 164s on consecutive probes, so a single 90s probe
-    fails stochastically and silently discarded the round's device story.
-    Now: up to three probes over a ~7-minute budget; any success wins.
-    """
+    Round-4 postmortem (VERDICT weak #2): the tunnel's real failure mode
+    is discovery answering in ~10s while the FIRST compute dispatch takes
+    up to 255s — longer than every probe window the old design had
+    (90/150/180s), so a usable chip was recorded as dead. The probe is
+    now split to match: a short discovery probe, then ONE patient
+    dispatch probe (~8 min). The telemetry dict is embedded in the
+    bench JSON so a fallback run carries evidence of WHY, never a silent
+    CPU line."""
     import subprocess
     import sys
     if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
-        return True
-    for i, timeout_s in enumerate(probe_timeouts):
+        return True, {"probe": "cpu-platform"}
+    tel = {}
+
+    def run(code, timeout_s):
+        t0 = time.time()
         try:
-            res = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; jax.devices(); "
-                 "import jax.numpy as jnp; jnp.arange(4).sum().item()"],
-                timeout=timeout_s, capture_output=True)
-            if res.returncode == 0:
-                return True
+            res = subprocess.run([sys.executable, "-c", code],
+                                 timeout=timeout_s, capture_output=True)
+            ok = res.returncode == 0
+            err = "" if ok else res.stderr.decode()[-200:]
         except subprocess.TimeoutExpired:
-            pass
-        print(json.dumps({"warning": f"device probe {i + 1}/"
-                          f"{len(probe_timeouts)} failed ({timeout_s}s)"}),
-              flush=True)
-    return False
+            ok, err = False, f"timeout({timeout_s}s)"
+        return ok, round(time.time() - t0, 1), err
+
+    ok, dt, err = run("import jax; assert jax.devices()",
+                      discovery_timeout)
+    tel["discovery_ok"], tel["discovery_s"] = ok, dt
+    if not ok:
+        tel["discovery_err"] = err
+        return False, tel
+    ok, dt, err = run("import jax, jax.numpy as jnp; "
+                      "jnp.arange(4).sum().item()", dispatch_timeout)
+    tel["dispatch_ok"], tel["dispatch_s"] = ok, dt
+    if not ok:
+        tel["dispatch_err"] = err
+    return ok, tel
 
 
 _LASTGOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -210,25 +221,86 @@ def _load_lastgood() -> dict | None:
         return None
 
 
+def _retry_device_run():
+    """End-of-fallback retry (round-4 VERDICT next-round #3): after a
+    CPU-fallback run completes (often 10+ minutes — time enough for a
+    flaky tunnel to come back), probe the device once more and, if it
+    answers, run the whole benchmark again on the device in a subprocess.
+    Returns the retried run's JSON line (dict) or None."""
+    import subprocess
+    import sys
+    alive, tel = _probe_device()
+    if not alive:
+        return None
+    env = dict(os.environ)
+    env.pop("LURK_TPU_BENCH_REEXEC", None)
+    env["LURK_TPU_BENCH_RETRIED"] = "1"
+    env["PYTHONPATH"] = env.pop("LURK_TPU_BENCH_ORIG_PP", "")
+    jp = env.pop("LURK_TPU_BENCH_ORIG_JP", "")
+    if jp:
+        env["JAX_PLATFORMS"] = jp
+    else:
+        env.pop("JAX_PLATFORMS", None)
+    prove = env.pop("LURK_TPU_BENCH_ORIG_PROVE", "")
+    if prove:
+        env["LURK_TPU_BENCH_PROVE"] = prove
+    else:
+        env.pop("LURK_TPU_BENCH_PROVE", None)
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, timeout=5400)
+    except subprocess.TimeoutExpired:
+        return None
+    for raw in reversed(res.stdout.decode().strip().splitlines()):
+        try:
+            cand = json.loads(raw)
+        except ValueError:
+            continue
+        if isinstance(cand, dict) and "metric" in cand:
+            cand["retried_after_fallback"] = True
+            cand["retry_probe"] = tel
+            return cand
+    return None
+
+
 def main():
     os.environ.setdefault("LURK_TPU_XLA_CACHE", "1")
-    if not _device_backend_alive() \
-            and os.environ.get("LURK_TPU_BENCH_REEXEC") != "1":
-        # a dead device tunnel hangs jax at PLUGIN DISCOVERY even with
-        # JAX_PLATFORMS=cpu; re-exec without the plugin on PYTHONPATH so
-        # the benchmark still produces a (CPU) line instead of hanging
-        import sys
-        env = dict(os.environ)
-        env["LURK_TPU_BENCH_REEXEC"] = "1"
-        env["JAX_PLATFORMS"] = "cpu"
-        env["PYTHONPATH"] = ""
-        # the 2^20-row prove is a device metric; on the CPU fallback it
-        # would run for hours - skip it rather than stall the benchmark
-        env.setdefault("LURK_TPU_BENCH_PROVE", "0")
-        print('{"warning": "device backend unreachable; re-running on '
-              'CPU fallback"}', flush=True)
-        os.execve(sys.executable, [sys.executable,
-                                   os.path.abspath(__file__)], env)
+    probe_tel = {"probe": "skipped(reexec)"}
+    if os.environ.get("LURK_TPU_BENCH_REEXEC") != "1":
+        alive, probe_tel = _probe_device()
+        if not alive:
+            # a dead device tunnel hangs jax at PLUGIN DISCOVERY even
+            # with JAX_PLATFORMS=cpu; re-exec without the plugin on
+            # PYTHONPATH so the benchmark still produces a (CPU) line
+            # instead of hanging. The original env rides along so the
+            # end-of-run retry can restore it.
+            import sys
+            env = dict(os.environ)
+            env["LURK_TPU_BENCH_REEXEC"] = "1"
+            env["LURK_TPU_BENCH_PROBE"] = json.dumps(probe_tel)
+            env["LURK_TPU_BENCH_ORIG_PP"] = os.environ.get(
+                "PYTHONPATH", "")
+            env["LURK_TPU_BENCH_ORIG_JP"] = os.environ.get(
+                "JAX_PLATFORMS", "")
+            env["LURK_TPU_BENCH_ORIG_PROVE"] = os.environ.get(
+                "LURK_TPU_BENCH_PROVE", "")
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PYTHONPATH"] = ""
+            # the 2^20-row prove is a device metric; on the CPU fallback
+            # it would run for hours - skip it rather than stall
+            env.setdefault("LURK_TPU_BENCH_PROVE", "0")
+            print(json.dumps({"warning": "device backend unreachable; "
+                              "re-running on CPU fallback",
+                              "probe": probe_tel}), flush=True)
+            os.execve(sys.executable, [sys.executable,
+                                       os.path.abspath(__file__)], env)
+    else:
+        try:
+            probe_tel = json.loads(
+                os.environ.get("LURK_TPU_BENCH_PROBE", "{}"))
+        except ValueError:
+            probe_tel = {}
     hashes_per_s = bench_poseidon()
     baseline = 25e6  # estimated 96-core Rust reference (see docstring)
     line = {
@@ -238,6 +310,7 @@ def main():
         "vs_baseline": round(hashes_per_s / baseline, 3),
     }
     on_fallback = os.environ.get("LURK_TPU_BENCH_REEXEC") == "1"
+    line["probe"] = probe_tel
     if on_fallback:
         # make the record honest: this number is the CPU fallback, not
         # the TPU (see BENCHMARKS.md for the last measured TPU figures)
@@ -279,6 +352,17 @@ def main():
                     f"{type(e).__name__}: {e}"[:200]
         except Exception as e:
             line["lurk_fib500_error"] = f"{type(e).__name__}: {e}"[:200]
+    if on_fallback and os.environ.get("LURK_TPU_BENCH_RETRIED") != "1":
+        retried = _retry_device_run()
+        if retried is not None:
+            # the tunnel came back during the fallback run: the device
+            # line supersedes the CPU one (it also carries probe + retry
+            # telemetry, so the flake is still on the record)
+            retried["superseded_cpu_fallback"] = {
+                k: line[k] for k in ("metric", "value", "probe")
+                if k in line}
+            print(json.dumps(retried))
+            return
     if not on_fallback:
         _save_lastgood(line)
     print(json.dumps(line))

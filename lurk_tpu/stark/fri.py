@@ -232,6 +232,12 @@ def verify(proof: FriProof, config: FriConfig, max_log: int,
         v = np.asarray(v, np.uint64) % P
         idx = np.asarray(indices, np.int64)
         log_n = max_log
+        use_view = view is not None and multi is not None
+        # strict canonicity of every layer's pair rows, precomputed by
+        # the view build (same acceptance set as the per-layer
+        # rows < P check on the no-view path below)
+        if use_view and not view.pair_canonical:
+            return False
         for layer, root in enumerate(proof.layer_roots):
             half = 1 << (log_n - 1)
             j = idx % half
@@ -258,7 +264,10 @@ def verify(proof: FriProof, config: FriConfig, max_log: int,
             f_x, f_mx = rows[:, :4], rows[:, 4:]
             mine = np.where((idx < half)[:, None], f_x, f_mx)
             # strict: opened values must be canonical and match exactly
-            if not (np.all(mine == v) and np.all(rows < P)):
+            # (view path checked canonicity globally above)
+            if not np.all(mine == v):
+                return False
+            if not use_view and not np.all(rows < P):
                 return False
             shift = layer_shift(max_log, layer)
             x_inv = _inv_x_half(log_n, shift)[j]              # (nq,)

@@ -489,6 +489,15 @@ class StarkMachine:
 
     def verify(self, vk: VerifyingKey, proof: MachineProof,
                challenger: Challenger) -> bool:
+        """Public verdict API.
+
+        Contract: `proof` must not be mutated in place after a verify —
+        repeated verifies reuse a cached array view of it keyed by
+        identity + a cheap content fingerprint (stark/proof_view.py).
+        Deepcopy before mutating (as the tamper tests do) or call
+        proof_view.invalidate(shard.pcs_proof) after an intentional
+        in-place edit; the fingerprint catches transcript-level
+        mutations loudly, but not arbitrary deep edits."""
         try:
             return self._verify(vk, proof, challenger)
         except self._HOSTILE_PROOF_ERRORS as e:
@@ -544,6 +553,10 @@ class StarkMachine:
         # involved), so their hashing — the single biggest verify cost —
         # starts NOW on a background thread and runs under phases 2-3.
         multi = merkle.MultiVerifier()
+        # early-rejection and exception paths ABORT the background
+        # hasher (drop queued work, never raise its error) so a decided
+        # verdict doesn't block on it and the original exception isn't
+        # masked; only the clean path finish()es and takes its verdict
         try:
             multi.prehash_async([m for info in infos
                                  for m in info["view"].leaf_mats()])
@@ -552,6 +565,7 @@ class StarkMachine:
             # zeta, one DAG walk per distinct chip over all its shard
             # instances.
             if not self._batched_zeta_checks(vk, infos, pv):
+                multi.abort()
                 return False
             _vlog("zeta checks")
 
@@ -568,12 +582,14 @@ class StarkMachine:
                                          sp.pcs_proof, self.config,
                                          info["ch"], multi=multi,
                                          view=info["view"]):
+                    multi.abort()
                     return False
                 multi.flush_async()
             _vlog("pcs rounds")
-        finally:
-            merkle_ok = multi.finish()
-        if not merkle_ok:
+        except BaseException:
+            multi.abort()
+            raise
+        if not multi.finish():
             return False
         _vlog("merkle multi-run")
 

@@ -124,9 +124,15 @@ class _Job:
         self.idx = np.asarray(list(indices), np.int64)
         if len(self.idx) != nq:
             raise VerificationShapeError
-        self.paths = np.asarray(
+        # sibling limbs truncate to u32 up front so EVERY downstream
+        # walk (native, numpy level loop, tacked loop) sees identical
+        # values: the native compress casts u64->u32 while the numpy
+        # fallback reduced mod p, which diverged for limbs >= 2^32
+        # (ADVICE round 4) - truncate-then-hash is the one behavior now
+        self.paths = (np.asarray(
             [[list(d) for d in o.path] for o in openings],
-            np.uint64) if self.depth else None              # (nq, depth, 8)
+            np.uint64) & np.uint64(0xFFFFFFFF)) \
+            if self.depth else None                         # (nq, depth, 8)
         # absorbed shorter matrices: step -> stacked row matrix
         self.tacks = {}
         level_h = max_h
@@ -161,7 +167,9 @@ class _Job:
         job.depth = depth
         job.idx = np.asarray(idx, np.int64)
         job.leaf_mat = leaf_mat
-        job.paths = paths
+        # same u32 truncation as __init__ (see comment there)
+        job.paths = None if paths is None \
+            else paths & np.uint64(0xFFFFFFFF)
         job.tacks = {}
         job.digest = None
         return job
@@ -321,6 +329,25 @@ class MultiVerifier:
         t.start()
         self._async = (q, t, res)
 
+    def abort(self) -> None:
+        """Stop the async worker WITHOUT completing queued hashing and
+        without re-raising its error: for early-rejection / exception
+        paths where the verdict is already decided — a False verdict
+        should not block on background work, and finish() raising here
+        would mask the original exception (ADVICE round 4)."""
+        self.failed = True
+        if self._async is None:
+            return
+        q, t, res = self._async
+        try:
+            while True:
+                q.get_nowait()
+        except Exception:
+            pass
+        q.put(None)
+        t.join()
+        self._async = None
+
     def finish(self) -> bool:
         """Join the async worker (if any) and return the joint verdict.
         Without a prior flush_async() this is just run()."""
@@ -398,9 +425,9 @@ class MultiVerifier:
         """Climb every job's path in one native call (threaded C++, one
         w16 compress per (row, level)); returns the (n, 8) final digest
         array, or None when the native library is unavailable (caller
-        falls back to the numpy level loop). Sibling u64 limbs truncate
-        to u32 exactly as the numpy path's poseidon_batch cast does, so
-        the acceptance set is identical."""
+        falls back to the numpy level loop). Sibling limbs were already
+        truncated to u32 at _Job build, so native and numpy walks share
+        one acceptance set."""
         from ..lair import native
         if not native.native_available():
             return None
@@ -483,6 +510,9 @@ def verify_opening(root: Digest, heights: List[int], index: int,
     idx = index
     level_h = max_h
     for sibling in opening.path:
+        # u32-truncate sibling limbs: one acceptance set with the
+        # MultiVerifier paths (_Job truncates at build; ADVICE round 4)
+        sibling = [int(x) & 0xFFFFFFFF for x in sibling]
         if idx & 1:
             digest = hasher.compress_s(sibling, digest)
         else:

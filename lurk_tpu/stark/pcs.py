@@ -300,6 +300,12 @@ def verify_rounds(roots: List[List[tuple]], widths: List[List[int]],
         y_cat = np.concatenate(y_blocks, axis=0)          # (total_w, 4)
         if y_cat.shape[0] != total_w:
             return False
+        # reduceat misbehaves on zero-length segments (it returns the
+        # NEXT block's first element, not 0). Zero-width matrices are
+        # rejected upstream (proof_view requires ndim==3), but guard
+        # here so legalizing them later can't silently corrupt y_alpha.
+        if any(b.shape[0] == 0 for b in y_blocks):
+            return False
         terms = E.emul(all_apows, y_cat)
         starts = np.cumsum([0] + [b.shape[0] for b in y_blocks[:-1]])
         y_alphas = np.add.reduceat(terms, starts, axis=0) % _P

@@ -75,21 +75,49 @@ class PcsView:
 _REGISTRY: dict = {}
 
 
+def _fingerprint(pcs_proof):
+    """Cheap content mark over the proof's small transcript-critical
+    fields (FRI roots / final value / PoW witness / query count + shape
+    counts). Not a cryptographic digest of the whole proof — it exists
+    so the common in-place mutations (tamper tests, re-assembled
+    proofs) change the key and invalidate the cached view loudly
+    instead of re-verifying stale arrays. Mutating ONLY a deep opened
+    value in place still violates the documented no-mutation contract
+    on StarkMachine.verify."""
+    try:
+        f = pcs_proof.fri_proof
+        return (tuple(tuple(r) for r in f.layer_roots),
+                tuple(f.final_value), int(f.pow_witness),
+                tuple(f.query_indices), len(pcs_proof.opened),
+                len(pcs_proof.query_openings))
+    except (AttributeError, TypeError, ValueError, OverflowError):
+        return None          # malformed: never cache-hit
+
+
+def invalidate(pcs_proof) -> None:
+    """Drop any cached view (explicit hook for callers that must mutate
+    a proof object in place)."""
+    entry = _REGISTRY.pop(id(pcs_proof), None)
+    if entry is not None and entry[2] is not None:
+        entry[2].detach()
+
+
 def get(pcs_proof) -> Optional[PcsView]:
     """Cached view of `pcs_proof`, building it on first use; None if the
     proof is structurally malformed (the caller must reject)."""
     key = id(pcs_proof)
+    fp = _fingerprint(pcs_proof)
     hit = _REGISTRY.get(key)
-    if hit is not None:
+    if hit is not None and fp is not None and hit[1] == fp:
         return hit[0]
     view = _build(pcs_proof)
-    if view is None:
-        return None
+    if view is None or fp is None:
+        return view
     try:
         finalizer = weakref.finalize(pcs_proof, _REGISTRY.pop, key, None)
     except TypeError:
         return view  # not weakref-able: still valid, just uncached
-    _REGISTRY[key] = (view, finalizer)
+    _REGISTRY[key] = (view, fp, finalizer)
     return view
 
 

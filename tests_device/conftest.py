@@ -28,25 +28,46 @@ if os.environ.get("LURK_TPU_DEVICE_TESTS") != "1":
                     "to run against the live chip")
 
 
-def _tunnel_alive() -> bool:
-    for timeout_s in (90, 180):
+def _tunnel_alive():
+    """None when alive, else a diagnostic string. Split probes (round-4
+    VERDICT weak #2): discovery answers in ~10s even when the FIRST
+    dispatch takes 250s+, so dispatch gets one patient window. Instant
+    non-zero exits (the round-4 mystery 0.8s skips) are reported with
+    the subprocess's stderr instead of being blamed on a timeout —
+    e.g. a shell without the device plugin on PYTHONPATH sees only the
+    CPU platform and fails the discovery assert immediately."""
+    import time as _time
+
+    def run(code, timeout_s):
+        t0 = _time.time()
         try:
-            res = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; assert jax.devices()[0].platform != 'cpu'; "
-                 "import jax.numpy as jnp; jnp.arange(4).sum().item()"],
-                timeout=timeout_s, capture_output=True)
-            if res.returncode == 0:
-                return True
+            res = subprocess.run([sys.executable, "-c", code],
+                                 timeout=timeout_s, capture_output=True)
+            err = None if res.returncode == 0 else \
+                (res.stderr.decode().strip().splitlines() or ["?"])[-1][-300:]
         except subprocess.TimeoutExpired:
-            pass
-    return False
+            err = f"timeout({timeout_s}s)"
+        return err, round(_time.time() - t0, 1)
+
+    err, dt = run("import jax; ds = jax.devices(); "
+                  "assert ds[0].platform != 'cpu', "
+                  "f'no accelerator platform visible (got {ds}): '"
+                  "'is the device plugin on PYTHONPATH?'", 90)
+    if err is not None:
+        return f"discovery probe failed after {dt}s: {err}"
+    err, dt = run("import jax, jax.numpy as jnp; "
+                  "jnp.arange(4).sum().item()", 480)
+    if err is not None:
+        return (f"discovery OK but dispatch probe failed after {dt}s "
+                f"(observed cold dispatch up to 256s): {err}")
+    return None
 
 
-if _SKIP_REASON is None and not _tunnel_alive():
-    _SKIP_REASON = ("LURK_TPU_DEVICE_TESTS=1 but the device tunnel did not "
-                    "answer two probes (90s+180s) - NOT a pass: re-run when "
-                    "the tunnel is alive")
+if _SKIP_REASON is None:
+    _probe_err = _tunnel_alive()
+    if _probe_err is not None:
+        _SKIP_REASON = ("LURK_TPU_DEVICE_TESTS=1 but " + _probe_err +
+                        " - NOT a pass: re-run when the tunnel is alive")
 
 
 def pytest_collection_modifyitems(config, items):
