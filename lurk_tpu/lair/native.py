@@ -155,6 +155,11 @@ class _Cursor:
 
 
 def _decode_record(toplevel, buf: np.ndarray, queries: QueryRecord):
+    # Every byte of the flat record belongs to exactly one column, so the
+    # columns are zero-copy VIEWS of `buf` (each view's .base keeps it
+    # alive). The old per-column .copy() re-touched all ~430MB of a
+    # fib(100000) record — measured 2.9-6.6s of the evaluation phase
+    # (round-5 profile), pure memcpy+page faults for no benefit.
     c = _Cursor(buf)
     n_funcs = c.next()
     assert n_funcs == toplevel.num_funcs()
@@ -162,17 +167,17 @@ def _decode_record(toplevel, buf: np.ndarray, queries: QueryRecord):
         func = toplevel.func_by_index(fi)
         inv_map = queries.inv_func_queries[fi]
         n = c.next()
-        args = c.take(n * func.input_size).reshape(n, func.input_size).copy()
-        outs = c.take(n * func.output_size).reshape(n, func.output_size).copy()
-        provide = c.take(n * 2).reshape(n, 2).copy()
-        req_offs = c.take(n + 1).copy()
-        req_flat = (c.take(int(req_offs[-1])) if n else c.take(0)).copy()
-        depth = c.take(n).copy()
-        dreq_offs = c.take(n + 1).copy()
-        dreq_flat = (c.take(int(dreq_offs[-1])) if n else c.take(0)).copy()
-        path = c.take(n).copy()
-        hint_offs = c.take(n + 1).copy()
-        hint_flat = (c.take(int(hint_offs[-1])) if n else c.take(0)).copy()
+        args = c.take(n * func.input_size).reshape(n, func.input_size)
+        outs = c.take(n * func.output_size).reshape(n, func.output_size)
+        provide = c.take(n * 2).reshape(n, 2)
+        req_offs = c.take(n + 1)
+        req_flat = c.take(int(req_offs[-1])) if n else c.take(0)
+        depth = c.take(n)
+        dreq_offs = c.take(n + 1)
+        dreq_flat = c.take(int(dreq_offs[-1])) if n else c.take(0)
+        path = c.take(n)
+        hint_offs = c.take(n + 1)
+        hint_flat = c.take(int(hint_offs[-1])) if n else c.take(0)
         queries.func_queries[fi] = ColumnarQueryMap(
             func.input_size, func.output_size, args, outs, provide,
             req_offs, req_flat, depth, dreq_offs, dreq_flat, path,
@@ -184,8 +189,8 @@ def _decode_record(toplevel, buf: np.ndarray, queries: QueryRecord):
     for m in range(NUM_MEM_TABLES):
         width = MEM_TABLE_SIZES[m]
         n = c.next()
-        vals = c.take(n * width).reshape(n, width).copy()
-        provide = c.take(n * 2).reshape(n, 2).copy()
+        vals = c.take(n * width).reshape(n, width)
+        provide = c.take(n * 2).reshape(n, 2)
         queries.mem_queries[m] = ColumnarMemMap(width, vals, provide)
     n_bytes = c.next()
     brecs = c.take(n_bytes * 13).reshape(n_bytes, 13).copy()

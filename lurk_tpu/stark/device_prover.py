@@ -191,12 +191,39 @@ class DTree:
 _HOST_TOP = 256
 
 
-def dtree_commit(mats: list, concat=None, defer: bool = False) -> DTree:
+def _hash_rows_chunked(concat):
+    """Leaf-hash a (n, w) concat in row blocks when it is large: the
+    hasher's Pallas path holds a transposed Montgomery copy of its whole
+    input (~2x the concat) inside one jit, which on top of a resident
+    multi-round state was the straw that OOM'd fib-100000's perm commit.
+    Rows hash independently, so blocks are bit-identical. Block starts
+    are traced (dynamic_slice): one program per (n, w) regardless of the
+    number of blocks."""
+    from . import hasher
+    n, w = int(concat.shape[0]), int(concat.shape[1])
+    budget = _lde_chunk_cells()
+    if n * w <= budget:
+        return hasher.hash_rows(concat)
+    rows = max(1024, budget // max(w, 1))
+    rows = 1 << (rows.bit_length() - 1)     # pow2 divides pow2 height
+    if rows >= n:
+        return hasher.hash_rows(concat)
+    outs = []
+    for off in range(0, n, rows):
+        block = jax.lax.dynamic_slice(concat, (jnp.int32(off),
+                                               jnp.int32(0)), (rows, w))
+        outs.append(hasher.hash_rows(block))
+    return jnp.concatenate(outs, axis=0)
+
+
+def dtree_commit(mats, concat=None, defer: bool = False,
+                 widths=None) -> DTree:
     """All matrices must share one power-of-two height (pcs groups them).
 
     Pass `concat` when the caller already holds the column-concatenation
     of `mats` (dcommit's group LDE) - re-concatenating would duplicate
-    the whole LDE on device.
+    the whole LDE on device. With `widths` given, `mats` may be None
+    entirely (dcommit never materializes per-matrix LDE slices).
 
     Orchestrates eagerly over the hasher's per-shape jits (one Poseidon2
     permutation per compiled unit, shapes shared across trees/levels) -
@@ -208,16 +235,16 @@ def dtree_commit(mats: list, concat=None, defer: bool = False) -> DTree:
     finalize_dtrees (which batches many trees' downloads on one
     transfer) before .root/.levels are complete."""
     from . import hasher
-    h = int(mats[0].shape[0])
-    for m in mats:
-        assert int(m.shape[0]) == h
     if concat is None:
         concat = jnp.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
-    widths = [int(m.shape[1]) for m in mats]
+    h = int(concat.shape[0])
+    if widths is None:
+        widths = [int(m.shape[1]) for m in mats]
+    assert sum(widths) == int(concat.shape[1])
     if h <= _HOST_TOP:
         tree = DTree(widths, concat, [], None, pending=("rows", concat))
     else:
-        level = hasher.hash_rows(concat)
+        level = _hash_rows_chunked(concat)
         levels = [level]
         while int(level.shape[0]) > _HOST_TOP:
             level = hasher.compress_pairs(level[0::2], level[1::2])
@@ -356,8 +383,8 @@ def dtree_open_many(tree: DTree, indices: List[int]):
 @dataclass
 class DRound:
     matrices: list                   # device trace mats (h, w)
-    ldes: list                       # device LDE mats (2h, w)
-    coeffs: list                     # device coefficient mats (h, w)
+    ldes: list                       # unused (kept for layout compat)
+    coeffs: list                     # unused (kept for layout compat)
     trees: List[Tuple[int, DTree]]   # [(log_H, tree)] height desc
     groups: List[Tuple[int, List[int]]]
     group_coeffs: list               # per-group (h, sum_w) coefficient concat
@@ -374,6 +401,29 @@ class DRound:
     @property
     def roots(self) -> List[tuple]:
         return [t.root for _, t in self.trees]
+
+    def lde(self, i: int):
+        """Matrix i's LDE, sliced on demand from its group's tree leaf
+        concat (the concat IS the column-concatenated group LDE). Earlier
+        rounds eagerly materialized one LDE slice and one coefficient
+        slice per matrix at commit time — duplicating the whole round's
+        LDE + coefficients on device and (with everything else resident)
+        OOMing fib-100000's 16GB v5e prove. The on-demand slice is alive
+        only while the caller (the per-chip quotient loop) consumes it."""
+        for (log_h, idxs), (_, tree) in zip(self.groups, self.trees):
+            if i in idxs:
+                off = 0
+                for j in idxs:
+                    if j == i:
+                        return tree.concat[:, off:off + self.widths[i]]
+                    off += self.widths[j]
+        raise IndexError(i)
+
+    def release_mats(self):
+        """Drop the trace matrices once no later phase reads them (for
+        main rounds: after the LogUp permutation traces are built; for
+        perm rounds: right after commit)."""
+        self.matrices = None
 
     def release_heavy(self):
         """Drop the per-matrix device buffers not needed for the PCS open
@@ -399,6 +449,75 @@ def _lde_kernel(group, intt_tables, ntt_tables, sp, log_h: int):
     lde = device_ntt(bb.mont_mul(padded, sp[:, None]),
                      log_h + LOG_BLOWUP, False, ntt_tables)
     return coeffs, lde
+
+
+def _lde_chunk_cells() -> int:
+    """Column-chunk threshold for the group LDE (trace-height cells).
+    The monolithic _lde_kernel peaks at roughly 8x its input inside one
+    jit (input + coeffs + padded + LDE + NTT stage scratch); chunking
+    columns caps that transient at ~8x the chunk while the outputs are
+    written in place via buffer donation. NTTs are per-column, so the
+    bits are identical."""
+    return int(_os.environ.get("LURK_TPU_LDE_CHUNK_CELLS", str(1 << 25)))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _set_cols(buf, chunk, off):
+    return jax.lax.dynamic_update_slice(buf, chunk, (jnp.int32(0), off))
+
+
+def _lde_group(group_mats: list, log_h: int):
+    """[(h, w_i)] device mats (one height group) -> (coeffs (h, W),
+    lde (2h, W)), column-chunked when the group is large.
+
+    Chunk width is a per-height constant (budget >> log_h), so the chunk
+    kernel compiles ONCE per height class and is shared by every group
+    and shard — fewer distinct executables than the old per-(h, W)
+    monolithic kernels, which matters on a tunnel where each executable
+    load costs seconds. The last partial chunk is zero-padded to the
+    fixed width (NTT of zero columns is zeros; the pad is never stored)."""
+    h = 1 << log_h
+    W = sum(int(m.shape[1]) for m in group_mats)
+    big_log = log_h + LOG_BLOWUP
+    args = (cg_tables_dev(log_h, True), cg_tables_dev(big_log, False),
+            jnp.asarray(_shift_powers(big_log, GENERATOR)))
+    budget = _lde_chunk_cells()
+    if h * W <= budget:
+        group = jnp.concatenate(group_mats, axis=1) \
+            if len(group_mats) > 1 else group_mats[0]
+        return _lde_kernel(group, *args, log_h)
+    cw = max(8, budget >> log_h)
+    cfs = jnp.zeros((h, W), U32)
+    lde = jnp.zeros((h << LOG_BLOWUP, W), U32)
+    # walk columns across matrix boundaries without ever concatenating
+    # the whole group at trace height
+    spans = []          # (mat, col_start, col_end) covering [0, W)
+    for m in group_mats:
+        spans.append((m, int(m.shape[1])))
+    mi, mo = 0, 0       # current matrix index / column offset within it
+    for off in range(0, W, cw):
+        take = min(cw, W - off)
+        parts = []
+        got = 0
+        while got < take:
+            m, mw = spans[mi]
+            n = min(take - got, mw - mo)
+            parts.append(m[:, mo:mo + n] if (mo or n < mw) else m)
+            got += n
+            mo += n
+            if mo == mw:
+                mi += 1
+                mo = 0
+        if take < cw:
+            parts.append(jnp.zeros((h, cw - take), U32))
+        chunk = jnp.concatenate(parts, axis=1) if len(parts) > 1 \
+            else parts[0]
+        c, l = _lde_kernel(chunk, *args, log_h)
+        if take < cw:
+            c, l = c[:, :take], l[:, :take]
+        cfs = _set_cols(cfs, c, jnp.int32(off))
+        lde = _set_cols(lde, l, jnp.int32(off))
+    return cfs, lde
 
 
 def _mesh_commit_cfg():
@@ -441,40 +560,31 @@ def dcommit(matrices: list, finalize: bool = True) -> DRound:
     trace_lhs = [_log2(int(m.shape[0])) for m in mats]
     groups = host_pcs._group_by_height(trace_lhs)
     mesh, mesh_budget = _mesh_commit_cfg()
-    ldes: list = [None] * len(mats)
-    coeffs: list = [None] * len(mats)
     trees = []
     group_coeffs = []
     for log_h, idxs in groups:
-        group = jnp.concatenate([mats[i] for i in idxs], axis=1) \
-            if len(idxs) > 1 else mats[idxs[0]]
+        group_mats = [mats[i] for i in idxs]
+        widths = [int(m.shape[1]) for m in group_mats]
         big_log = log_h + LOG_BLOWUP
-        group_cells = (1 << big_log) * int(group.shape[1])
+        group_cells = (1 << big_log) * sum(widths)
         if mesh is not None and group_cells > mesh_budget and \
                 (1 << log_h) >= mesh.devices.size ** 2:
             from ..parallel.ntt_mesh import mesh_lde
+            group = jnp.concatenate(group_mats, axis=1) \
+                if len(group_mats) > 1 else group_mats[0]
             cfs, group_lde = mesh_lde(mesh, group, LOG_BLOWUP)
         else:
-            cfs, group_lde = _lde_kernel(
-                group, cg_tables_dev(log_h, True),
-                cg_tables_dev(big_log, False),
-                jnp.asarray(_shift_powers(big_log, GENERATOR)), log_h)
-        off = 0
-        group_ldes = []
-        for i in idxs:
-            w = int(mats[i].shape[1])
-            ldes[i] = group_lde[:, off:off + w]
-            coeffs[i] = cfs[:, off:off + w]
-            group_ldes.append(ldes[i])
-            off += w
-        # group_lde IS the column concat of group_ldes: committing it
-        # directly avoids duplicating the whole LDE on device
-        trees.append((big_log, dtree_commit(group_ldes, concat=group_lde,
-                                            defer=True)))
+            cfs, group_lde = _lde_group(group_mats, log_h)
+        # group_lde IS the committed leaf concat; per-matrix LDE /
+        # coefficient views are sliced on demand (DRound.lde) instead of
+        # materialized here — the eager slices duplicated the round's
+        # whole LDE+coeffs on device
+        trees.append((big_log, dtree_commit(None, concat=group_lde,
+                                            widths=widths, defer=True)))
         group_coeffs.append(cfs)
     if finalize:
         finalize_dtrees([t for _, t in trees])
-    return DRound(mats, ldes, coeffs, trees, groups, group_coeffs)
+    return DRound(mats, None, None, trees, groups, group_coeffs)
 
 
 # ---------------------------------------------------------------------------
@@ -1874,13 +1984,21 @@ def device_open_rounds(rounds: List[DRound],
 def device_prove(machine, pk, queries, challenger, shard_config=None,
                  shards=None):
     """Device-resident equivalent of StarkMachine.prove: same transcript,
-    same proof object, traces resident on device from commit to FRI."""
-    from ..lair.execute import Shard
+    same proof object, traces resident on device from commit to FRI.
+
+    `shards` (a pre-computed default-config split from machine.prove's
+    size probe) is ignored: sharding is re-planned here against the HBM
+    budget (stark/hbm.py) unless an explicit shard_config / SHARD_SIZE
+    pins it."""
     from ..lair.chips import chip_included, chip_preprocessed
     from .machine import MachineProof, ShardProof, ChipProof
 
-    if shards is None:
-        shards = Shard(queries, 0, shard_config).shard()
+    from .hbm import plan_shards, keep_rounds_fits
+    # HBM-aware shard sizing: with no explicit SHARD_SIZE the splitter
+    # bounds device memory, not just proof size (the reference's splitter
+    # only bounds the latter because its prover lives in host RAM —
+    # src/lair/execute.rs:226-241). An explicit config is honored as-is.
+    shards, hbm_budget = plan_shards(machine, queries, shard_config)
     pv = queries.expect_public_values()
     pv_dev = jnp.asarray(np.asarray([int(v) % bb.P for v in pv], np.uint32))
 
@@ -1907,18 +2025,15 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
     # pass 2 (fib-100000 OOM'd a 16GB v5e in round 2). Small-enough
     # proofs keep the rounds and skip the recommit entirely - the
     # recommit was ~15-30%% of the steady-state multi-shard prove.
-    est_bytes = 0
-    for shard in shards:
-        for c in machine.chips:
-            if chip_included(c, shard):
-                rows = c.num_rows(shard)
-                pow2 = 1 << max((rows - 1).bit_length(), 2)
-                # trace + coeffs + 2x LDE (the tree leaf concat IS the
-                # group LDE), all uint32
-                est_bytes += pow2 * c.width * 4 * 4
-    keep_bytes = int(_os.environ.get("LURK_TPU_COMMIT_KEEP_BYTES",
-                                     str(6 << 30)))
-    keep_rounds = len(shards) == 1 or est_bytes <= keep_bytes
+    keep_env = _os.environ.get("LURK_TPU_COMMIT_KEEP_BYTES")
+    if keep_env is not None:
+        # explicit override: compare total kept-round bytes (4x cells)
+        from .hbm import shard_cells
+        est = sum(4 * shard_cells(machine, s)[0] * 4 for s in shards)
+        keep_rounds = est <= int(keep_env)
+    else:
+        keep_rounds = keep_rounds_fits(machine, shards, hbm_budget)
+    keep_rounds = keep_rounds or len(shards) == 1
     shard_chip_lists = []
     shard_roots = []
     kept_rounds = []      # per-shard DRound when keep_rounds
@@ -2113,7 +2228,16 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
             for i in range(len(chips))]
     del cum_devs, cum_slots
     t0 = _tlog("  cums transfer (drains perm)", t0)
+    # main trace matrices are dead past the perm build (the quotient
+    # reads LDEs; openings read tree concats + group coeffs): free them
+    # before the perm commit's LDE/hash transients peak
+    main_round.release_mats()
     perm_round = dcommit(perm_mats)
+    # device perm mats are dead once committed (host chips keep their
+    # numpy perm for the host quotient path)
+    perm_mats = [m if on_host[i] else None
+                 for i, m in enumerate(perm_mats)]
+    perm_round.release_mats()
     t0 = _tlog("  perm dcommit", t0)
     for root in perm_round.roots:
         ch.observe_many(root)
@@ -2146,9 +2270,10 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
         prep_lde = None
         if has_prep:
             pidx = prep_names.index(chip.name)
-            prep_lde = prep_round.ldes[pidx]
+            prep_lde = prep_round.lde(pidx)
+        # on-demand LDE slices: alive for this chip's chunk only
         chunk = device_quotient_chunk(
-            builder, main_round.ldes[i], prep_lde, perm_round.ldes[i],
+            builder, main_round.lde(i), prep_lde, perm_round.lde(i),
             pv, pv_dev, r, gamma, alpha, cums[i], log_h)
         quotient_mats.append(chunk)
     t0 = _tlog("  quotient chunks (dispatch+host)", t0)

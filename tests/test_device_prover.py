@@ -210,3 +210,122 @@ def test_device_proof_quotient_fallback_modes(monkeypatch, mode):
     dev = machine.prove(pk, q, Challenger(), device=True)
     _assert_proofs_equal(host, dev)
     assert machine.verify(vk, dev, Challenger())
+
+
+def _ackermann_machine():
+    from tests.test_lair_air import _ackermann_func
+    from lurk_tpu.lair.toplevel import Toplevel
+    tl = Toplevel([_ackermann_func()])
+    q = QueryRecord(tl)
+    execute_by_name(tl, "ackermann", [2, 7], q)
+    chip = FuncChip.from_name("ackermann", tl)
+    machine = StarkMachine(build_lair_chip_vector(chip),
+                           len(q.expect_public_values()), TEST_CONFIG)
+    return machine, q
+
+
+def test_hbm_auto_shard_small_budget(monkeypatch):
+    """Round-4 regression: fib(100000) OOM'd the 16GB v5e at the default
+    (single-shard) config because sharding only bounded proof size. With
+    a forced-small HBM budget the planner (stark/hbm.py) must auto-split
+    the default config, and the auto-split proof must be bit-identical
+    to the same split requested explicitly (reference contract: sharding
+    exists to bound resources, src/lair/execute.rs:226-241)."""
+    from lurk_tpu.stark import hbm
+    machine, q = _ackermann_machine()
+    pk, vk = machine.setup()
+
+    monkeypatch.delenv("SHARD_SIZE", raising=False)
+    monkeypatch.setenv("LURK_TPU_MIN_SHARD_SIZE", "16")
+    monkeypatch.setenv("LURK_TPU_HBM_BYTES", "1000000")
+
+    planned, _ = hbm.plan_shards(machine, q)
+    assert len(planned) > 1
+    picked = planned[0].config.max_shard_size
+    assert picked == 16          # walked down to the floor
+
+    auto = machine.prove(pk, q, Challenger(), device=True)
+    assert len(auto.shard_proofs) == len(planned)
+    explicit = machine.prove(pk, q, Challenger(),
+                             shard_config=ShardingConfig(picked),
+                             device=True)
+    _assert_proofs_equal(auto, explicit)
+    assert machine.verify(vk, auto, Challenger())
+
+
+def test_hbm_planner_fib_scale_model():
+    """Planner unit test at fib(100000)-like scale without proving: the
+    fib-shaped workload (1M max func rows, wide eval chips) must split
+    under a small budget and stay whole under a roomy one."""
+    from lurk_tpu.stark import hbm
+
+    class _FakeBuilder:
+        interactions = list(range(20))
+
+    class _FakeChip:
+        def __init__(self, name, rows, width):
+            self.name, self._rows, self.width = name, rows, width
+
+        def num_rows(self, shard):
+            r = self._rows
+            s = shard.config.max_shard_size
+            return max(0, min(r - shard.index * s, s))
+
+    class _FakeMachine:
+        chips = [_FakeChip("eval", 1000004, 78),
+                 _FakeChip("eval_builtin_expr", 500001, 148),
+                 _FakeChip("apply", 399998, 114),
+                 _FakeChip("bytes", 1 << 16, 7)]
+
+        def builder_for(self, chip):
+            return _FakeBuilder()
+
+    import lurk_tpu.logup.trace as lt
+    import lurk_tpu.lair.chips as lc
+    orig_ptw, orig_inc = lt.perm_trace_width, lc.chip_included
+    lt.perm_trace_width = lambda b: 4 * (len(b.interactions) // 2 + 1)
+    try:
+        import unittest.mock as mock
+        with mock.patch.object(
+                hbm, "shard_cells", wraps=hbm.shard_cells):
+            pass
+        # chip_included: fake chips with rows in range
+        with mock.patch("lurk_tpu.lair.chips.chip_included",
+                        lambda c, s: c.num_rows(s) > 0):
+            m = _FakeMachine()
+
+            class _Q:
+                func_queries = [list(range(1000004))]
+
+            from lurk_tpu.lair.execute import Shard, ShardingConfig
+            single = Shard(_Q(), 0, ShardingConfig(1 << 22)).shard()
+            hw = hbm.shard_highwater_bytes(m, single[0])
+            budget = int(hw / 0.78) // 2      # force at least one halving
+            assert hw > int(budget * 0.78)
+            shards, _ = hbm.plan_shards(m, _Q(), budget_bytes=budget)
+            assert len(shards) > 1
+            hw_each = max(hbm.shard_highwater_bytes(m, s)
+                          for s in shards)
+            assert hw_each <= int(budget * 0.78)
+            roomy, _ = hbm.plan_shards(m, _Q(),
+                                       budget_bytes=200 << 30)
+            assert len(roomy) == 1
+    finally:
+        lt.perm_trace_width = orig_ptw
+        lc.chip_included = orig_inc
+
+
+def test_recommit_mode_bit_exact(monkeypatch):
+    """LURK_TPU_COMMIT_KEEP_BYTES=0 forces pass-1 to free every shard's
+    round and deterministically recommit in pass 2; proof bits must
+    match keep mode (this path had no test when round 4 shipped it)."""
+    machine, q = _ackermann_machine()
+    pk, vk = machine.setup()
+    cfg = ShardingConfig(max_shard_size=64)
+    keep = machine.prove(pk, q, Challenger(), shard_config=cfg,
+                         device=True)
+    monkeypatch.setenv("LURK_TPU_COMMIT_KEEP_BYTES", "0")
+    recommit = machine.prove(pk, q, Challenger(), shard_config=cfg,
+                             device=True)
+    _assert_proofs_equal(keep, recommit)
+    assert machine.verify(vk, recommit, Challenger())
