@@ -54,10 +54,28 @@ import time as _time
 _TIMING = _os.environ.get("LURK_TPU_PROVE_TIMING", "0") == "1"
 
 
+def _mem_str() -> str:
+    """'in-use/peak/limit GiB' from the default device's memory_stats
+    (empty when the backend exposes none) — prove-phase telemetry for
+    calibrating the hbm.py residency model against the live chip."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        g = 1 << 30
+        used = stats.get("bytes_in_use")
+        if used is None:
+            return ""
+        peak = stats.get("peak_bytes_in_use", 0)
+        lim = stats.get("bytes_limit", 0)
+        return (f" [hbm {used / g:.2f}/{peak / g:.2f}/{lim / g:.2f} GiB"
+                f" use/peak/limit]")
+    except Exception:
+        return ""
+
+
 def _tlog(label: str, t0: float) -> float:
     t1 = _time.perf_counter()
     if _TIMING:
-        print(f"[prove-timing] {label}: {t1 - t0:.3f}s",
+        print(f"[prove-timing] {label}: {t1 - t0:.3f}s{_mem_str()}",
               file=_sys.stderr, flush=True)
     return t1
 
@@ -1999,6 +2017,13 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
     # only bounds the latter because its prover lives in host RAM —
     # src/lair/execute.rs:226-241). An explicit config is honored as-is.
     shards, hbm_budget = plan_shards(machine, queries, shard_config)
+    if _TIMING:
+        from .hbm import shard_highwater_bytes
+        hw = max(shard_highwater_bytes(machine, s) for s in shards)
+        print(f"[prove-timing] plan: {len(shards)} shard(s) size="
+              f"{shards[0].config.max_shard_size} modeled-hw="
+              f"{hw / 2**30:.2f}GiB budget={hbm_budget / 2**30:.2f}GiB"
+              f"{_mem_str()}", file=_sys.stderr, flush=True)
     pv = queries.expect_public_values()
     pv_dev = jnp.asarray(np.asarray([int(v) % bb.P for v in pv], np.uint32))
 

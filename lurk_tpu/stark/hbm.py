@@ -34,7 +34,14 @@ import os
 from typing import List, Optional, Tuple
 
 _DEFAULT_HBM = 16 << 30          # v5e per-chip HBM
-_HEADROOM = 0.78                 # budget fraction of the memory limit
+# Fixed reserve for what the residency model cannot see: resident XLA
+# executables (dozens by the open phase; their loads alone OOM'd when
+# HBM was full), NTT twiddle tables per height class, FRI layer trees,
+# allocator fragmentation after multi-GB transient spikes. Calibrated on
+# the round-5 live run where a modeled 9.6GiB open phase exhausted a
+# 16GB v5e.
+_RESERVE = 3 << 30
+_HEADROOM = 0.65                 # budget fraction of (limit - reserve)
 
 
 def _transient_cells() -> int:
@@ -85,9 +92,19 @@ def shard_cells(machine, shard) -> Tuple[int, int]:
 
 
 def shard_highwater_bytes(machine, shard) -> int:
-    """Estimated single-shard prove high-water (recommit mode)."""
+    """Estimated single-shard prove high-water (recommit mode): the max
+    over the prove's phases, + kernel transients.
+
+      perm commit   3*M (mats freed) + 4*P (perm mats + coeffs + 2x LDE)
+      quotient      3*M + 3*P + per-chip LDE slice (in transients)
+      open          3*(M + P) tree concats + group coeffs
+
+    The round-5 live run OOM'd in the OPEN phase after the commit phase
+    fit — all three phases must clear the budget, not just the commit."""
     m, p = shard_cells(machine, shard)
-    return (4 * m + 4 * p + _transient_cells()) * 4
+    peak = max(3 * m + 4 * p,      # perm commit
+               3 * m + 3 * p)      # quotient / open (Q is ~8 cells/row)
+    return (peak + _transient_cells()) * 4
 
 
 def plan_shards(machine, queries, shard_config=None,
@@ -96,7 +113,8 @@ def plan_shards(machine, queries, shard_config=None,
     SHARD_SIZE env var; otherwise auto-sizes shards so the biggest
     shard's high-water fits the HBM budget."""
     from ..lair.execute import Shard, ShardingConfig, default_shard_size
-    budget = int((budget_bytes or device_hbm_bytes()) * _HEADROOM)
+    limit = budget_bytes or device_hbm_bytes()
+    budget = int(max(limit - _RESERVE, limit // 4) * _HEADROOM)
     explicit = shard_config is not None or "SHARD_SIZE" in os.environ
     if explicit:
         return Shard(queries, 0, shard_config).shard(), budget

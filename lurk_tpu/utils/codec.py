@@ -96,15 +96,17 @@ def _enc(obj: Any, out: bytearray):
         out += struct.pack(">I", len(obj))
         out += obj
     elif isinstance(obj, list):
-        out.append(0x07)
-        out += struct.pack(">I", len(obj))
-        for x in obj:
-            _enc(x, out)
+        if not _pack_int_run(obj, False, out):
+            out.append(0x07)
+            out += struct.pack(">I", len(obj))
+            for x in obj:
+                _enc(x, out)
     elif isinstance(obj, tuple):
-        out.append(0x08)
-        out += struct.pack(">I", len(obj))
-        for x in obj:
-            _enc(x, out)
+        if not _pack_int_run(obj, True, out):
+            out.append(0x08)
+            out += struct.pack(">I", len(obj))
+            for x in obj:
+                _enc(x, out)
     elif isinstance(obj, dict):
         out.append(0x09)
         out += struct.pack(">I", len(obj))
@@ -135,6 +137,43 @@ def _enc(obj: Any, out: bytearray):
         out += nb
         for f in _FIELDS[name]:
             _enc(getattr(obj, f), out)
+
+
+def _pack_int_run(seq, is_tuple: bool, out: bytearray) -> bool:
+    """Homogeneous int sequences (>= 8 elements) encode as one packed
+    run (tag 0x0C) instead of a tag byte + 8-byte int per element:
+    proof payloads are almost entirely such runs (opened-value rows,
+    Merkle paths, digests), and per-element _dec calls dominated cold
+    verify (round-5 profile: 1.87M calls, ~2s of a 4-shard fib(100000)
+    decode). Decode rebuilds the identical list/tuple of python ints via
+    one struct.unpack, at C speed. bools are excluded (type-exact
+    check), matching the scalar tags' round-trip semantics."""
+    n = len(seq)
+    if n < 8:
+        return False
+    lo = hi = None
+    for x in seq:
+        if type(x) is not int and not (isinstance(x, np.integer)
+                                       and not isinstance(x, np.bool_)):
+            return False
+        v = int(x)
+        if lo is None or v < lo:
+            lo = v
+        if hi is None or v > hi:
+            hi = v
+    if 0 <= lo and hi < (1 << 32):
+        flags = 2 | (1 if is_tuple else 0)
+        fmt = "I"
+    elif -(1 << 63) <= lo and hi < (1 << 63):
+        flags = 0 | (1 if is_tuple else 0)
+        fmt = "q"
+    else:
+        return False
+    out.append(0x0C)
+    out.append(flags)
+    out += struct.pack(">I", n)
+    out += struct.pack(f">{n}{fmt}", *(int(x) for x in seq))
+    return True
 
 
 class _Reader:
@@ -223,6 +262,17 @@ def _dec(r: _Reader, depth: int = 0) -> Any:
         for f in _FIELDS[name]:
             object.__setattr__(obj, f, _dec(r, depth + 1))
         return obj
+    if tag == 0x0C:
+        flags = r.u8()
+        if flags > 3:
+            raise CodecError("bad packed-run flags")
+        n = r.u32()
+        if n > (1 << 28):
+            raise CodecError("packed run too long")
+        wide = not (flags & 2)
+        vals = struct.unpack(f">{n}q" if wide else f">{n}I",
+                             r.take(n * (8 if wide else 4)))
+        return vals if flags & 1 else list(vals)
     raise CodecError(f"bad tag byte {tag:#x}")
 
 
