@@ -38,7 +38,7 @@ from .challenger import Challenger
 from .errors import VerificationError
 from .eval import BatchPointEvalCtx, DomainEvalCtx, PointEvalCtx
 from .fri import FriConfig, geom_powers
-from . import merkle, pcs
+from . import merkle, pcs, proof_view
 
 U = np.uint64
 _P = U(bb.P)
@@ -538,28 +538,38 @@ class StarkMachine:
                       file=_sys.stderr, flush=True)
             _t0 = t1
 
-        # Phase 1 (serial per shard): walk each shard's transcript to
-        # derive its challenges and collect its constraint-check inputs.
-        infos = []
-        for sp in proof.shard_proofs:
-            ch = challenger.copy()
-            info = self._shard_transcript(vk, sp, pv, ch)
-            if info is None:
-                return False
-            infos.append(info)
-        _vlog("shard transcripts")
-
         # The Merkle leaf matrices are proof-static (no challenges
         # involved), so their hashing — the single biggest verify cost —
-        # starts NOW on a background thread and runs under phases 2-3.
+        # starts on a background thread as soon as each shard's VIEW is
+        # built and runs under phases 1-3. Views are challenge-free, so
+        # building them ahead of the transcripts costs nothing and lets
+        # the cold (first-verify) path overlap view conversion with the
+        # native hashing instead of serializing the two (round-4 VERDICT
+        # item #8: cold verify was view-build THEN hash-wait).
         multi = merkle.MultiVerifier()
         # early-rejection and exception paths ABORT the background
         # hasher (drop queued work, never raise its error) so a decided
         # verdict doesn't block on it and the original exception isn't
         # masked; only the clean path finish()es and takes its verdict
         try:
-            multi.prehash_async([m for info in infos
-                                 for m in info["view"].leaf_mats()])
+            for sp in proof.shard_proofs:
+                view = proof_view.get(sp.pcs_proof)  # cached for phase 1
+                if view is not None:
+                    multi.prehash_async(view.leaf_mats())
+            _vlog("views + prehash dispatch")
+
+            # Phase 1 (serial per shard): walk each shard's transcript
+            # to derive its challenges and collect its constraint-check
+            # inputs.
+            infos = []
+            for sp in proof.shard_proofs:
+                ch = challenger.copy()
+                info = self._shard_transcript(vk, sp, pv, ch)
+                if info is None:
+                    multi.abort()
+                    return False
+                infos.append(info)
+            _vlog("shard transcripts")
 
             # Phase 2 (batched across shards): the constraint check at
             # zeta, one DAG walk per distinct chip over all its shard
