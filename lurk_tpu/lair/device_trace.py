@@ -476,16 +476,96 @@ def _init_trace(height: int, width: int, start):
 # ---------------------------------------------------------------------------
 
 def supported(chip) -> bool:
-    """True when every path of the FuncChip compiles to the VM (no
-    externs)."""
-    return _plans_for(chip) is not None
+    """True when the chip generates on device: every path compiles to
+    the VM (no externs), or the func is a terminal hasher."""
+    return _hasher_width(chip) is not None or _plans_for(chip) is not None
+
+
+def _hasher_width(chip) -> Optional[int]:
+    """Poseidon width for 'terminal hasher' funcs — body is exactly ONE
+    ExternCall to a requires-free hasher chipset followed by Return
+    (hash3/hash4/hash5, core/misc.py). These are the widest traces in
+    the Lurk machine (reference: src/poseidon/wide/columns.rs:8-41) and
+    fully straight-line, so their witness is generated on device by the
+    batched permutation kernel instead of the register VM (round-4
+    VERDICT item #6)."""
+    func = getattr(chip, "func", None)
+    if func is None:                 # Mem/Bytes/Entrypoint chips
+        return None
+    body = func.body
+    if func.partial or len(body.ops) != 1:
+        return None
+    op = body.ops[0]
+    if not isinstance(op, B.ExternCall) or not isinstance(body.ctrl,
+                                                          B.Return):
+        return None
+    ext = chip.toplevel.chip_by_index(op.chip_idx)
+    width = getattr(ext, "width", None)
+    if width is None or getattr(ext, "require_size", 1) != 0 or \
+            not hasattr(ext, "populate_witness_batch") or \
+            type(ext).__name__ != "HasherChip":
+        return None
+    from ..poseidon.witness import num_cols
+    expect = 1 + func.input_size + func.output_size + 2 \
+        + (8 + num_cols(width)) + 1
+    if chip.width != expect or len(op.inp) != width:
+        return None
+    return width
+
+
+def _hasher_trace_device(chip, shard, width: int) -> jnp.ndarray:
+    """(height, chip.width) device trace for a terminal-hasher func:
+    row = [nonce | preimg(W) | img(8) | provide(2) | out8+wide witness |
+    sel]. Streams shipped: args/outputs/provide only (~W+10 u32/row);
+    the hundreds of witness columns are born on device."""
+    from .trace import next_power_of_two
+    fq = shard.queries.func_queries[chip.func.index]
+    rng = shard.get_func_range(chip.func.index)
+    n = len(rng)
+    height = next_power_of_two(n)
+    trace = _init_trace(height, chip.width, jnp.uint32(rng.start))
+    if n == 0:
+        return trace
+    m = n
+    mp = _pow2_bucket(m)
+
+    def pad(a):
+        return np.pad(a, [(0, mp - a.shape[0])] + [(0, 0)] *
+                      (a.ndim - 1)) if a.shape[0] != mp else a
+
+    args = pad(fq.args[rng.start:rng.stop].astype(np.uint32))
+    outs = pad(fq.outputs[rng.start:rng.stop].astype(np.uint32))
+    prov = pad(fq.provide[rng.start:rng.stop].astype(np.uint32))
+    nonce = pad((np.arange(rng.start, rng.stop, dtype=np.uint64)
+                 % np.uint64(bb.P)).astype(np.uint32)[:, None])
+    block = _hasher_rows(jnp.asarray(nonce), jnp.asarray(args),
+                         jnp.asarray(outs), jnp.asarray(prov), width)
+    ridx_pad = np.full(mp, height, np.int32)
+    ridx_pad[:m] = np.arange(m, dtype=np.int32)
+    return _scatter_rows(trace, block, jnp.asarray(ridx_pad))
+
+
+@partial(jax.jit, static_argnames=("width",))
+def _hasher_rows(nonce, args, outs, prov, width: int):
+    from ..poseidon.witness import populate_batch_device
+    witness, _result = populate_batch_device(width, args)
+    sel = jnp.ones((args.shape[0], 1), U32)
+    return jnp.concatenate([nonce, args, outs, prov, witness, sel],
+                           axis=1)
 
 
 def generate_trace_device(chip, shard) -> Optional[jnp.ndarray]:
     """Device-resident equivalent of FuncChip.generate_trace: returns the
     full (height, width) uint32 trace as a device array, or None when the
-    chip can't run on the VM (extern paths / non-columnar query maps)."""
+    chip can't run on the VM (extern paths other than terminal hashers /
+    non-columnar query maps)."""
     from .columnar import ColumnarQueryMap
+    hw = _hasher_width(chip)
+    if hw is not None:
+        fq = shard.queries.func_queries[chip.func.index]
+        if isinstance(fq, ColumnarQueryMap):
+            return _hasher_trace_device(chip, shard, hw)
+        return None
     plans = _plans_for(chip)
     if plans is None:
         return None
@@ -612,8 +692,17 @@ def _run_group(trace, plan: PathPlan, fq, ridx: np.ndarray,
                     jnp.asarray(reqs), jnp.asarray(req_tgts),
                     jnp.asarray(hints), jnp.asarray(hint_tgts),
                     jnp.asarray(dlt_deps), jnp.asarray(plan.dlt_cols),
-                    jnp.asarray(own), n_reg=n_reg, depth_w=DEPTH_W)
+                    jnp.asarray(own), n_reg, DEPTH_W)
     block = X[:plan.width].T                       # (mp, width)
     ridx_pad = np.full(mp, height, np.int32)
     ridx_pad[:m] = ridx
     return _scatter_rows(trace, block, jnp.asarray(ridx_pad))
+
+
+# --- warmup wrapping (stark/warmup.py): witness-VM programs cost ~1s
+# each to load per (n_reg bucket) on the tunneled backend -------------------
+from ..stark import warmup as _wu
+_witness_vm = _wu.wrap("dt.vm", None, _witness_vm)
+_scatter_rows = _wu.wrap("dt.scat", None, _scatter_rows)
+_init_trace = _wu.wrap("dt.init", None, _init_trace)
+_hasher_rows = _wu.wrap("dt.hrows", None, _hasher_rows)

@@ -277,3 +277,104 @@ def permute_batch_np(width: int, states: np.ndarray) -> np.ndarray:
     for r in range(cfg.r_f // 2, cfg.r_f):
         st = _ext_layer_arr(_pow7_np((st + full_rc[r][None, :]) % _P))
     return st
+
+
+# --- device (jnp) witness population ----------------------------------------
+# Vectorized over the full (m, width) state: the first version kept the
+# state as `width` separate (m,) columns, which unrolled to 10k+ tiny HLO
+# ops and took tens of minutes to XLA-compile on CPU (and seconds on
+# device). Modular adds/products are exact, so reassociating them over
+# whole-array ops is bit-identical; the column layout of the witness is
+# unchanged (pinned vs the numpy path in tests/test_device_trace.py).
+
+
+def _dev_ext_layer_v(st):
+    """External (MDS) layer on (m, w): out = M4-blockwise product plus
+    per-position block sums, exactly poseidon2's circ(2*M4, M4, ...)."""
+    import jax.numpy as jnp
+    from ..field import babybear as bb
+    m, w = st.shape
+    blk = st.reshape(m, w // 4, 4)
+    rows = []
+    for r in range(4):
+        acc = bb.fmul(blk[:, :, 0], jnp.uint32(M4[r][0]))
+        for j in range(1, 4):
+            acc = bb.fadd(acc, bb.fmul(blk[:, :, j],
+                                       jnp.uint32(M4[r][j])))
+        rows.append(acc)                       # (m, w//4)
+    out = jnp.stack(rows, axis=2)              # (m, w//4, 4)
+    sums = out[:, 0, :]
+    for g in range(1, w // 4):
+        sums = bb.fadd(sums, out[:, g, :])     # (m, 4)
+    return bb.fadd(out, sums[:, None, :]).reshape(m, w)
+
+
+def _dev_pow7_v(x):
+    from ..field import babybear as bb
+    sb3 = bb.fmul(bb.fmul(x, x), x)
+    return sb3, bb.fmul(x, bb.fmul(sb3, sb3))
+
+
+def _dev_ext_round_v(state, cfg, r):
+    import numpy as _np
+    import jax.numpy as jnp
+    from ..field import babybear as bb
+    st_record = state
+    rc = jnp.asarray(_np.asarray(cfg.full_rc_list[r], _np.uint32))
+    x = bb.fadd(state, rc[None, :])
+    sb3, x7 = _dev_pow7_v(x)
+    return _dev_ext_layer_v(x7), st_record, sb3
+
+
+def populate_batch_device(width: int, inputs):
+    """jnp mirror of populate_batch: (m, width) canonical device u32 ->
+    (witness (m, 8+num_cols), result (m, width)) on device. Exact mod-p
+    arithmetic (field.babybear fadd/fmul), identical column layout —
+    bit-exactness vs the numpy path is tested in
+    tests/test_device_trace.py. This is what lets the Poseidon wide
+    chips (the widest traces in the Lurk machine — reference
+    src/poseidon/wide/columns.rs:8-41) populate ON DEVICE instead of
+    riding the host->device link (round-4 VERDICT item #6)."""
+    import numpy as _np
+    import jax.numpy as jnp
+    from ..field import babybear as bb
+    cfg = get_config(width)
+    diag = jnp.asarray(_np.asarray(cfg.diag_list, _np.uint32))
+    state = _dev_ext_layer_v(inputs)
+
+    ext_states = []
+    ext_sboxes = []
+    for r in range(cfg.r_f // 2):
+        state, st, sb = _dev_ext_round_v(state, cfg, r)
+        ext_states.append(st)
+        ext_sboxes.append(sb)
+    init_state = state
+    state0 = []
+    int_sbox = []
+    for r in range(cfg.r_p):
+        if r > 0:
+            state0.append(state[:, 0])
+        x0 = bb.fadd(state[:, 0], jnp.uint32(cfg.part_rc_list[r]))
+        sb3, x7 = _dev_pow7_v(x0)
+        int_sbox.append(sb3)
+        state = state.at[:, 0].set(x7)
+        s = state[:, 0]
+        for i in range(1, width):
+            s = bb.fadd(s, state[:, i])
+        state = bb.fadd(bb.fmul(state, diag[None, :]), s[:, None])
+    for r in range(cfg.r_f // 2, cfg.r_f):
+        state, st, sb = _dev_ext_round_v(state, cfg, r)
+        ext_states.append(st)
+        ext_sboxes.append(sb)
+
+    result = state
+    parts = [result[:, :8]]
+    parts.extend(ext_states)
+    parts.extend(ext_sboxes)
+    parts.append(init_state)
+    if state0:
+        parts.append(jnp.stack(state0, axis=1))
+    parts.append(jnp.stack(int_sbox, axis=1))
+    witness = jnp.concatenate(parts, axis=1)
+    assert witness.shape[1] == 8 + num_cols(width)
+    return witness, result

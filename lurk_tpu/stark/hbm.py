@@ -144,3 +144,17 @@ def keep_rounds_fits(machine, shards, budget_bytes: int) -> bool:
         perm_peak = max(perm_peak, 4 * p)
     total = (4 * sum(mains) + perm_peak + _transient_cells()) * 4
     return total <= budget_bytes
+
+
+def keep_light_fits(machine, shards, budget_bytes: int) -> bool:
+    """True when pass-1 can keep every shard's mats + group coefficients
+    (2*M each; LDE + trees dropped and rebuilt from the coefficients in
+    pass 2 — 'keep-light'). High-water: all shards' 2*M, plus the
+    biggest shard's LDE rebuild + perm phase."""
+    tot = 0
+    peak = 0
+    for s in shards:
+        m, p = shard_cells(machine, s)
+        tot += 2 * m
+        peak = max(peak, 2 * m + 4 * p)
+    return (tot + peak + _transient_cells()) * 4 <= budget_bytes

@@ -329,3 +329,24 @@ def test_recommit_mode_bit_exact(monkeypatch):
                              device=True)
     _assert_proofs_equal(keep, recommit)
     assert machine.verify(vk, recommit, Challenger())
+
+
+def test_keep_light_mode_bit_exact(monkeypatch):
+    """keep-light pass 1 (mats+coeffs kept, LDE/trees rebuilt from the
+    coefficients in pass 2) must produce bit-identical proofs to full
+    keep mode."""
+    from lurk_tpu.stark import hbm
+    machine, q = _ackermann_machine()
+    pk, vk = machine.setup()
+    cfg = ShardingConfig(max_shard_size=64)
+    full = machine.prove(pk, q, Challenger(), shard_config=cfg,
+                         device=True)
+    # force light: full-keep must not fit, light must
+    monkeypatch.setattr(hbm, "keep_rounds_fits",
+                        lambda machine, shards, budget: False)
+    monkeypatch.setattr(hbm, "keep_light_fits",
+                        lambda machine, shards, budget: True)
+    light = machine.prove(pk, q, Challenger(), shard_config=cfg,
+                          device=True)
+    _assert_proofs_equal(full, light)
+    assert machine.verify(vk, light, Challenger())

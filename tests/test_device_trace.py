@@ -57,6 +57,14 @@ def test_dominant_funcs_supported(lurk_queries):
     for want in ("eval", "eval_builtin_expr", "apply", "eval_binop_num",
                  "env_lookup"):
         assert want in names, f"{want} fell off the device VM"
+    # terminal-hasher funcs (the widest traces in the machine) generate
+    # on device via the batched permutation kernel (round-4 VERDICT #6);
+    # hash3 has no rows in this fixture (no commitments), so check
+    # supportedness directly
+    for want in ("hash3", "hash4", "hash5"):
+        assert device_trace.supported(
+            FuncChip.from_name(want, toplevel)), f"{want} not on device"
+    assert "hash4" in names    # hash5/hash3 have no rows in this fixture
 
 
 def test_device_trace_bit_exact(lurk_queries):
