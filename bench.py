@@ -154,6 +154,40 @@ def bench_lurk_fib100k_verify(machine, vk):
     return cold_s, min(ts), len(proof.shard_proofs), bool(ok)
 
 
+def bench_lurk_fib100k_prove():
+    """Device prove of the PRODUCT headline workload: fib(100000) on the
+    full Lurk machine at the production FRI config — ~166M main-trace
+    cells, HBM-planned multi-shard at DEFAULT config, no env vars
+    (reference default bench arg: benches/fib.rs:27-34). Round-4 VERDICT
+    #2: this was the one workload with no driver artifact, which let an
+    OOM regression ship unnoticed. Runs last; ~2-6 min depending on how
+    much the background warmup (stark/warmup.py) already loaded."""
+    from lurk_tpu.core.eval_api import evaluate, num_iterations
+    from lurk_tpu.core.eval_direct import build_lurk_toplevel
+    from lurk_tpu.core.stark_machine import new_machine
+    from lurk_tpu.stark.challenger import Challenger
+    from lurk_tpu.stark.fri import FriConfig
+    from lurk_tpu.stark.key_cache import setup_cached
+
+    toplevel, zstore, _ = build_lurk_toplevel()
+    code = ("(letrec ((fib (lambda (n) (if (<= n 1) n "
+            "(+ (fib (- n 1)) (fib (- (- n 1) 1))))))) (fib 100000))")
+    t0 = time.perf_counter()
+    result, queries = evaluate(toplevel, zstore, code)
+    eval_s = time.perf_counter() - t0
+    machine = new_machine(toplevel, FriConfig())
+    pk, vk = setup_cached(machine)
+    t0 = time.perf_counter()
+    proof = machine.prove(pk, queries, Challenger())
+    prove_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ok = machine.verify(vk, proof, Challenger())
+    verify_s = time.perf_counter() - t0
+    cells = machine._trace_cells(queries, None)
+    return (eval_s, prove_s, verify_s, len(proof.shard_proofs), cells,
+            bool(ok))
+
+
 def _probe_device(discovery_timeout=60, dispatch_timeout=480):
     """(alive, telemetry) — probe the device backend in SUBPROCESSES (a
     wedged tunnel hangs jax inside C, uninterruptible in-process).
@@ -352,6 +386,23 @@ def main():
                     f"{type(e).__name__}: {e}"[:200]
         except Exception as e:
             line["lurk_fib500_error"] = f"{type(e).__name__}: {e}"[:200]
+    if (not on_fallback
+            and os.environ.get("LURK_TPU_BENCH_FIB100K", "1") != "0"
+            and os.environ.get("LURK_TPU_BENCH_PROVE", "1") != "0"):
+        # the 166M-cell product headline on the DEVICE at default config
+        # (round-4 VERDICT #2; device metric, skipped on the CPU fallback)
+        try:
+            ev, pv, vf, shards, cells, ok = bench_lurk_fib100k_prove()
+            line["lurk_fib100k_eval_s"] = round(ev, 1)
+            line["lurk_fib100k_prove_s"] = round(pv, 1)
+            line["lurk_fib100k_prove_cells_per_s"] = round(cells / pv, 1)
+            line["lurk_fib100k_trace_cells"] = cells
+            line["lurk_fib100k_prove_shards"] = shards
+            line["lurk_fib100k_prove_verified"] = ok
+            line["lurk_fib100k_prove_verify_s"] = round(vf, 3)
+        except Exception as e:
+            line["lurk_fib100k_prove_error"] = \
+                f"{type(e).__name__}: {e}"[:200]
     if on_fallback and os.environ.get("LURK_TPU_BENCH_RETRIED") != "1":
         retried = _retry_device_run()
         if retried is not None:

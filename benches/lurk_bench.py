@@ -108,6 +108,18 @@ def main():
     toplevel, zstore, _ = build_lurk_toplevel()
     emit("build_toplevel", time.perf_counter() - t0)
 
+    # start background executable warmup NOW so device program loads
+    # overlap evaluation + trace generation + witness upload
+    # (stark/warmup.py; round-4 VERDICT #4)
+    config = FriConfig(log_blowup=1, num_queries=args.queries,
+                       pow_bits=args.pow_bits)
+    machine = new_machine(toplevel, config)
+    try:
+        from lurk_tpu.stark.warmup import warm_machine
+        warm_machine(machine)
+    except Exception:
+        pass
+
     # -- evaluation (reference: benches/fib.rs:71-87) ----------------------
     t0 = time.perf_counter()
     result, queries = evaluate(toplevel, zstore, code)
@@ -130,9 +142,6 @@ def main():
          cells_per_s=round(cells / dt, 1))
 
     # -- prove + verify (reference: benches/fib.rs:110-165) ----------------
-    config = FriConfig(log_blowup=1, num_queries=args.queries,
-                       pow_bits=args.pow_bits)
-    machine = new_machine(toplevel, config)
     t0 = time.perf_counter()
     # disk-cached like the REPL's !(prove): the reference re-runs setup per
     # process (repl.rs:164-207); LURK_TPU_KEY_CACHE=0 forces a fresh setup

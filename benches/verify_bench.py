@@ -50,6 +50,9 @@ def main():
 
     with open(args.proof_path, "rb") as f:
         blob = f.read()
+    if blob[:2] == b"\x1f\x8b":        # gzipped artifact
+        import gzip
+        blob = gzip.decompress(blob)
     t0 = time.perf_counter()
     proof = codec.decode(blob)
     decode_s = time.perf_counter() - t0

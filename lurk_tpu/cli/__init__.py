@@ -38,6 +38,7 @@ def run(argv=None):
         from .repl import Repl
         cfg = test_config if getattr(args, "test_config", False) else None
         repl = Repl(config=cfg)
+        repl.start_background_warmup()
         if getattr(args, "preload", None):
             repl.load_file(args.preload)
         repl.run()
@@ -45,6 +46,9 @@ def run(argv=None):
         from .repl import Repl
         cfg = test_config if args.test_config else None
         repl = Repl(config=cfg)
+        if args.prove:
+            # overlap executable loads with parsing + evaluation
+            repl.start_background_warmup()
         repl.load_file(args.file, demo=args.demo)
         if args.prove:
             repl.prove_last_reduction()
@@ -52,6 +56,7 @@ def run(argv=None):
         from .repl import Repl
         from .microchain import serve
         repl = Repl()
+        repl.start_background_warmup()
         serve(repl, args.addr)
     else:
         parser.print_help()

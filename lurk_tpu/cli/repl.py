@@ -40,6 +40,7 @@ class Repl:
         # False = force python (set by !(debug) to collect call entries)
         self.use_native = None
         self._machine = None
+        self._machine_lock = __import__("threading").Lock()
         self._machine_keys = None
         from .meta import build_meta_cmds
         self.meta_cmds = build_meta_cmds()
@@ -50,9 +51,32 @@ class Repl:
         return self.zstore.fmt_with_state(self.state, zptr)
 
     def machine(self):
-        if self._machine is None:
-            self._machine = new_machine(self.toplevel, self.config)
-        return self._machine
+        with self._machine_lock:
+            if self._machine is None:
+                self._machine = new_machine(self.toplevel, self.config)
+            return self._machine
+
+    def start_background_warmup(self):
+        """Begin device-executable warmup (stark/warmup.py) for this
+        config's machine on a daemon thread, so a later !(prove) of a
+        device-scale workload doesn't pay the serial cold-load tax. The
+        reference's !(prove) starts proving immediately
+        (src/core/cli/repl.rs:164-207); with the manifest replay
+        overlapping the user's session, so does this one."""
+        import os as _os
+        if _os.environ.get("LURK_TPU_WARMUP", "1") == "0":
+            return
+        import threading
+
+        def _run():
+            try:
+                from ..stark import warmup
+                warmup.warm_machine(self.machine())
+            except Exception:
+                pass  # warmup is best-effort, never user-visible
+
+        threading.Thread(target=_run, daemon=True,
+                         name="lurk-warm-init").start()
 
     def machine_keys(self):
         if self._machine_keys is None:

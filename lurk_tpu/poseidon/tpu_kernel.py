@@ -170,3 +170,11 @@ def permute_tpu(states, tile: int = DEFAULT_TILE, interpret: bool = False):
     st = bb.to_mont(jnp.asarray(states).T)
     out = permute_mont_tpu(st, tile=tile, interpret=interpret)
     return bb.from_mont(out).T
+
+
+# --- warmup wrapping (stark/warmup.py): THE pallas program. The fixed-
+# shape hasher path (stark/hasher.py) funnels all device hashing through
+# a few batch buckets of this kernel, so warming these few signatures
+# erases the prover's dominant cold-start cost.
+from ..stark import warmup as _wu
+permute_mont_tpu = _wu.wrap("pk.perm", None, permute_mont_tpu)

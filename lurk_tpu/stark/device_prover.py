@@ -37,6 +37,7 @@ from ..field.ntt import GENERATOR, cg_tables_dev, device_ntt, _shift_powers
 from ..air.symbolic import Add, Col, Const, Mul, Pub, Sel, Sub
 from .fri import FriConfig, FriProof, FriQuery, FriQueryStep, geom_powers
 from . import pcs as host_pcs
+from . import warmup as _wu
 
 U32 = jnp.uint32
 LOG_BLOWUP = 1
@@ -469,6 +470,9 @@ def _lde_kernel(group, intt_tables, ntt_tables, sp, log_h: int):
     return coeffs, lde
 
 
+_lde_kernel = _wu.wrap("lde", None, _lde_kernel)
+
+
 def _lde_chunk_cells() -> int:
     """Column-chunk threshold for the group LDE (trace-height cells).
     The monolithic _lde_kernel peaks at roughly 8x its input inside one
@@ -482,6 +486,9 @@ def _lde_chunk_cells() -> int:
 @partial(jax.jit, donate_argnums=(0,))
 def _set_cols(buf, chunk, off):
     return jax.lax.dynamic_update_slice(buf, chunk, (jnp.int32(0), off))
+
+
+_set_cols = _wu.wrap("setcols", None, _set_cols)
 
 
 def _lde_group(group_mats: list, log_h: int):
@@ -536,6 +543,69 @@ def _lde_group(group_mats: list, log_h: int):
         cfs = _set_cols(cfs, c, jnp.int32(off))
         lde = _set_cols(lde, l, jnp.int32(off))
     return cfs, lde
+
+
+@partial(jax.jit, static_argnames=("log_h",))
+def _lde_from_coeffs_kernel(cfs, ntt_tables, sp, log_h: int):
+    """Second half of _lde_kernel: (h, w) coefficients -> (2h, w) coset
+    LDE. Same ops on the same values as _lde_kernel's tail, so the LDE
+    (and everything committed from it) is bit-identical."""
+    n = 1 << log_h
+    big_n = n << LOG_BLOWUP
+    padded = jnp.zeros((big_n, cfs.shape[1]), U32)
+    padded = padded.at[:n].set(cfs)
+    return device_ntt(bb.mont_mul(padded, sp[:, None]),
+                      log_h + LOG_BLOWUP, False, ntt_tables)
+
+
+_lde_from_coeffs_kernel = _wu.wrap("ldecf", None, _lde_from_coeffs_kernel)
+
+
+def _lde_group_from_coeffs(cfs, log_h: int):
+    """Column-chunked LDE regeneration from kept coefficients (keep-light
+    recommit): mirrors _lde_group's chunk schedule so program shapes are
+    shared with the forward path."""
+    h = 1 << log_h
+    W = int(cfs.shape[1])
+    big_log = log_h + LOG_BLOWUP
+    args = (cg_tables_dev(big_log, False),
+            jnp.asarray(_shift_powers(big_log, GENERATOR)))
+    budget = _lde_chunk_cells()
+    if h * W <= budget:
+        return _lde_from_coeffs_kernel(cfs, *args, log_h)
+    cw = max(8, budget >> log_h)
+    lde = jnp.zeros((h << LOG_BLOWUP, W), U32)
+    for off in range(0, W, cw):
+        take = min(cw, W - off)
+        chunk = jax.lax.dynamic_slice(cfs, (jnp.int32(0), jnp.int32(off)),
+                                      (h, take)) if take == cw else \
+            cfs[:, off:off + take]
+        if take < cw:
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((h, cw - take), U32)], axis=1)
+        l = _lde_from_coeffs_kernel(chunk, *args, log_h)
+        if take < cw:
+            l = l[:, :take]
+        lde = _set_cols(lde, l, jnp.int32(off))
+    return lde
+
+
+def recommit_from_coeffs(rnd_light) -> DRound:
+    """Rebuild a DRound (LDE concats + trees) from a keep-light record
+    (mats, groups, group coefficients kept; LDE/trees were dropped after
+    pass 1 to bound memory). Deterministic: the caller asserts the roots
+    match pass 1's."""
+    mats, groups, group_coeffs, widths, log_heights = rnd_light
+    trees = []
+    for (log_h, idxs), cfs in zip(groups, group_coeffs):
+        lde = _lde_group_from_coeffs(cfs, log_h)
+        trees.append((log_h + LOG_BLOWUP,
+                      dtree_commit(None, concat=lde,
+                                   widths=[widths[i] for i in idxs],
+                                   defer=True)))
+    finalize_dtrees([t for _, t in trees])
+    return DRound(mats, None, None, trees, groups, group_coeffs,
+                  widths, log_heights)
 
 
 def _mesh_commit_cfg():
@@ -800,7 +870,7 @@ def _perm_fn(builder, h: int, has_prep: bool):
         s = mod_cumsum(total, axis=0)
         return jnp.concatenate([phis, s], axis=1), s[-1]
 
-    fn = jax.jit(raw)
+    fn = _wu.wrap("perm", key, jax.jit(raw))
     _PERM_FNS[key] = fn
     return fn
 
@@ -889,7 +959,7 @@ def _generic_perm_fn(rows: int, Wp: int, nIp: int, maxT: int, maxM: int):
         s = mod_cumsum(total, axis=0)
         return phi.reshape(rows, -1), s, s[-1]
 
-    fn = jax.jit(raw)
+    fn = _wu.wrap("gperm", key, jax.jit(raw))
     _GPERM_FNS[key] = fn
     return fn
 
@@ -1090,7 +1160,7 @@ def _quotient_fn(builder, log_h: int, has_prep: bool):
             device_ntt(q1, log_h, False, ntt_tables)], axis=1)
         return chunk
 
-    fn = jax.jit(raw)
+    fn = _wu.wrap("quot", key, jax.jit(raw))
     _QUOT_FNS[key] = fn
     return fn
 
@@ -1137,7 +1207,7 @@ def _quotient_vals_fn(builder, has_prep: bool):
             folded = bb.fadd(folded, ext_mul_scalar(cval, apows_mont[n_base + k]))
         return folded
 
-    fn = jax.jit(raw)
+    fn = _wu.wrap("qvals", key, jax.jit(raw))
     _QVALS_FNS[key] = fn
     return fn
 
@@ -1160,6 +1230,9 @@ def _quotient_epilogue(folded, inv_zh, inv_shift, intt_tables, ntt_tables,
     return jnp.concatenate([
         device_ntt(q0, log_h, False, ntt_tables),
         device_ntt(q1, log_h, False, ntt_tables)], axis=1)
+
+
+_quotient_epilogue = _wu.wrap("qepi", None, _quotient_epilogue)
 
 
 def _window(mat, c0: int, rows: int, stride: int, big: int):
@@ -1267,7 +1340,7 @@ def _vm_fn(rows: int, Rp: int, Wp: int, ncp: int, K: int):
                                    jnp.zeros((rows, 4), U32))
         return folded
 
-    fn = jax.jit(raw)
+    fn = _wu.wrap("vm", key, jax.jit(raw))
     _VM_FNS[key] = fn
     return fn
 
@@ -1342,7 +1415,7 @@ def _pq_fn(rows: int, Wp: int, nIp: int, maxT: int, maxM: int, Bp: int):
             folded = bb.fadd(folded, ext_mul_scalar(v, wsel[k]))
         return folded
 
-    fn = jax.jit(raw)
+    fn = _wu.wrap("pq", key, jax.jit(raw))
     _PQ_FNS[key] = fn
     return fn
 
@@ -1547,7 +1620,7 @@ def _ext_powers_fn(n: int):
             k *= 2
         return out                                           # (n,4) mont
 
-    fn = jax.jit(raw)
+    fn = _wu.wrap("extpow", n, jax.jit(raw))
     _EXTPOW_FNS[n] = fn
     return fn
 
@@ -1574,7 +1647,7 @@ def _eval_coeffs_fn(h: int, w: int):
             outs.append(mod_tree_sum(prod, axis=0))             # (w,)
         return jnp.stack(outs, axis=1)                          # (w, 4)
 
-    fn = jax.jit(raw)
+    fn = _wu.wrap("evalc", key, jax.jit(raw))
     _EVALC_FNS[key] = fn
     return fn
 
@@ -1611,7 +1684,7 @@ def _inv_xz_fn(h: int):
         xz = bb.fsub(xz, jnp.broadcast_to(z_dev, (h, 4)))
         return ext_jnp.einv(xz)
 
-    fn = jax.jit(raw)
+    fn = _wu.wrap("invxz", h, jax.jit(raw))
     _INVXZ_FNS[h] = fn
     return fn
 
@@ -1634,7 +1707,7 @@ def _reduce_fn(H: int, w: int):
         num = bb.fsub(fx, jnp.broadcast_to(y_alpha, (H, 4)))
         return _ext_mul_arrays(num, inv_xz)
 
-    fn = jax.jit(raw)
+    fn = _wu.wrap("reduce", key, jax.jit(raw))
     _REDUCE_FNS[key] = fn
     return fn
 
@@ -1682,7 +1755,7 @@ def _fold_fn(log_n: int):
             jnp.broadcast_to(beta_mont, (half, 4)), bb.to_mont(d)))
         return bb.fadd(s, bd)
 
-    fn = jax.jit(raw)
+    fn = _wu.wrap("fold", log_n, jax.jit(raw))
     _FOLD_FNS[log_n] = fn
     return fn
 
@@ -2017,6 +2090,13 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
     # only bounds the latter because its prover lives in host RAM —
     # src/lair/execute.rs:226-241). An explicit config is honored as-is.
     shards, hbm_budget = plan_shards(machine, queries, shard_config)
+    # record this prove's program signatures + start background AOT warm
+    # of any prior manifest (stark/warmup.py): overlapped executable
+    # loads erase most of the fresh-process cold-start tax
+    try:
+        _wu.warm_machine(machine)
+    except Exception:
+        pass
     if _TIMING:
         from .hbm import shard_highwater_bytes
         hw = max(shard_highwater_bytes(machine, s) for s in shards)
@@ -2051,18 +2131,33 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
     # proofs keep the rounds and skip the recommit entirely - the
     # recommit was ~15-30%% of the steady-state multi-shard prove.
     keep_env = _os.environ.get("LURK_TPU_COMMIT_KEEP_BYTES")
+    from .hbm import keep_light_fits
     if keep_env is not None:
         # explicit override: compare total kept-round bytes (4x cells)
         from .hbm import shard_cells
         est = sum(4 * shard_cells(machine, s)[0] * 4 for s in shards)
-        keep_rounds = est <= int(keep_env)
+        keep_mode = "full" if est <= int(keep_env) else "none"
+    elif keep_rounds_fits(machine, shards, hbm_budget):
+        keep_mode = "full"
+    elif keep_light_fits(machine, shards, hbm_budget):
+        # keep mats + coefficients only (2x cells/shard); pass 2 rebuilds
+        # each LDE + tree from the kept coefficients — no witness regen,
+        # no INTT (the full recommit was ~40% of fib-100000's 66s
+        # steady-state prove)
+        keep_mode = "light"
     else:
-        keep_rounds = keep_rounds_fits(machine, shards, hbm_budget)
-    keep_rounds = keep_rounds or len(shards) == 1
+        keep_mode = "none"
+    if len(shards) == 1 and keep_mode == "none":
+        keep_mode = "light"          # never commit one shard twice in full
+    keep_rounds = keep_mode == "full"
+    if _TIMING:
+        print(f"[prove-timing] pass-1 keep mode: {keep_mode}",
+              file=_sys.stderr, flush=True)
     shard_chip_lists = []
     shard_roots = []
-    kept_rounds = []      # per-shard DRound when keep_rounds
-    shard_pendings = []   # else: per-shard deferred root buffers
+    kept_rounds = []      # per-shard DRound when keep_mode == "full"
+    kept_light = []       # per-shard (mats, groups, coeffs, widths, lhs)
+    shard_pendings = []   # light/none: per-shard deferred root buffers
     dev_witness = _device_witness_enabled()
     for shard in shards:
         t0 = _time.perf_counter()
@@ -2093,10 +2188,15 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
             kept_rounds.append(rnd)
         else:
             # defer every root download: the round's big device buffers
-            # are dropped right away (memory stays bounded by one shard);
-            # only the tiny pending top-level buffers survive the loop,
-            # and ALL shards' roots ride one transfer below
+            # are dropped right away (memory stays bounded by one shard
+            # — or by 2x cells/shard in keep-light); only the tiny
+            # pending top-level buffers survive the loop, and ALL
+            # shards' roots ride one transfer below
             shard_pendings.append([t.pending for _, t in rnd.trees])
+            if keep_mode == "light":
+                kept_light.append((rnd.matrices, rnd.groups,
+                                   rnd.group_coeffs, rnd.widths,
+                                   rnd.log_heights))
         t0 = _tlog(f"shard{shard.index} main dcommit (deferred)", t0)
         del rnd
     t0 = _time.perf_counter()
@@ -2123,6 +2223,14 @@ def device_prove(machine, pk, queries, challenger, shard_config=None,
         t0 = _time.perf_counter()
         if keep_rounds:
             main_round = kept_rounds[si]
+        elif keep_mode == "light":
+            # LDE + tree rebuilt from the kept coefficients: skips the
+            # witness regen and the inverse NTT of a full recommit
+            main_round = recommit_from_coeffs(kept_light[si])
+            assert main_round.roots == roots, \
+                "coeff-rebuilt commitment diverged from pass 1"
+            kept_light[si] = None
+            t0 = _tlog(f"shard{shard.index} lde-recommit", t0)
         else:
             # recommit (deterministic): trades one extra commit per shard
             # for device memory bounded by a single shard
@@ -2358,3 +2466,19 @@ def _device_prove_shard(machine, pk, prep_round, prep_names, shard, chips,
     ]
     return ShardProof(shard.index, chip_proofs, main_round.roots,
                       perm_round.roots, quotient_round.roots, pcs_proof)
+
+
+# --- warmup rebuild registry (stark/warmup.py) -----------------------------
+# rebuild(key) re-enters the factory, so the AOT-warmed fn object is the
+# exact one later prover calls dispatch through (shared pjit cache).
+_wu.register("perm", lambda k: _perm_fn(_wu.builder(k[0]), k[1], k[2]))
+_wu.register("gperm", lambda k: _generic_perm_fn(*k))
+_wu.register("quot", lambda k: _quotient_fn(_wu.builder(k[0]), k[1], k[2]))
+_wu.register("qvals", lambda k: _quotient_vals_fn(_wu.builder(k[0]), k[1]))
+_wu.register("vm", lambda k: _vm_fn(*k))
+_wu.register("pq", lambda k: _pq_fn(*k))
+_wu.register("extpow", lambda k: _ext_powers_fn(k))
+_wu.register("evalc", lambda k: _eval_coeffs_fn(*k))
+_wu.register("invxz", lambda k: _inv_xz_fn(k))
+_wu.register("reduce", lambda k: _reduce_fn(*k))
+_wu.register("fold", lambda k: _fold_fn(k))

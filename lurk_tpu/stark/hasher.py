@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from ..field import babybear as bb
 from ..poseidon import perm as pperm
 from ..poseidon import ref as pref
+from . import warmup as _wu
 
 WIDTH = 16
 RATE = 8
@@ -104,6 +105,111 @@ def _hash_rows_pallas_jit(mat, interpret=False):
     return bb.from_mont(state[:DIGEST]).T
 
 
+# --- fixed-shape pallas orchestration --------------------------------------
+# A Pallas program costs seconds to (re)load per shape even on a
+# persistent-cache hit (the Mosaic payload recompiles at load; measured
+# 2-6s/shape round 5, logs/compile_census.log), and loads serialize on
+# the tunnel (1.02x with 4 threads). The monolithic per-(n, w) sponge
+# jits made a fresh fib-100000 prove pay ~100s of pallas loads alone.
+# This path instead orchestrates EAGERLY around permute_mont_tpu at a
+# few fixed batch shapes (_BUCKETS), so the whole prover shares ~3
+# pallas programs, forever. The cheap per-shape XLA helpers (transpose,
+# mont, set) load in ~0.1s each. Digests are bit-identical: same sponge
+# schedule, same zero padding, extra padded rows are sliced off.
+
+_BUCKETS = (1 << 13, 1 << 16, 1 << 19)
+
+
+def _bucket_of(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return _BUCKETS[-1]
+
+
+def _fixed_enabled() -> bool:
+    import os
+    return os.environ.get("LURK_TPU_FIXED_HASH", "1") != "0"
+
+
+@partial(jax.jit, static_argnames=("total",))
+def _prep_mont_T(mat, total: int):
+    """(n, w) canonical -> (w', total) Montgomery transpose, rows zero-
+    padded to `total`, width zero-padded to a RATE multiple (the same
+    zero pad the sponge schedule applies, so digests are unchanged;
+    padded rows produce garbage digests that the caller slices off)."""
+    n, w = mat.shape
+    padw = (-w) % RATE
+    if padw:
+        mat = jnp.concatenate([mat, jnp.zeros((n, padw), jnp.uint32)],
+                              axis=1)
+    if total != n:
+        mat = jnp.concatenate(
+            [mat, jnp.zeros((total - n, mat.shape[1]), jnp.uint32)],
+            axis=0)
+    return bb.to_mont(mat.T)
+
+
+@jax.jit
+def _absorb_set(state, blk):
+    return state.at[:RATE].set(blk)
+
+
+@jax.jit
+def _digest_T(state):
+    """(16, B) mont -> (B, 8) canonical digests."""
+    return bb.from_mont(state[:DIGEST]).T
+
+
+def _hash_rows_fixed(mat, interpret=False):
+    from ..poseidon import tpu_kernel
+    n, w = int(mat.shape[0]), int(mat.shape[1])
+    B = _bucket_of(n)
+    total = -(-n // B) * B
+    matT = _prep_mont_T(mat, total)
+    wp = int(matT.shape[0])
+    outs = []
+    for off in range(0, total, B):
+        state = jnp.zeros((WIDTH, B), jnp.uint32)   # mont zero == 0
+        for c in range(0, wp, RATE):
+            blk = jax.lax.dynamic_slice(
+                matT, (jnp.int32(c), jnp.int32(off)), (RATE, B))
+            state = _absorb_set(state, blk)
+            state = tpu_kernel.permute_mont_tpu(state, 1024,
+                                                interpret=interpret)
+        outs.append(_digest_T(state))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out[:n] if total != n else out
+
+
+@partial(jax.jit, static_argnames=("total",))
+def _pair_mont_T(left, right, total: int):
+    """(n, 8), (n, 8) -> (16, total) Montgomery transpose of the
+    concatenated pair states, rows zero-padded to `total`."""
+    n = left.shape[0]
+    st = jnp.concatenate([left, right], axis=1)
+    if total != n:
+        st = jnp.concatenate(
+            [st, jnp.zeros((total - n, WIDTH), jnp.uint32)], axis=0)
+    return bb.to_mont(st.T)
+
+
+def _compress_fixed(left, right, interpret=False):
+    from ..poseidon import tpu_kernel
+    n = int(left.shape[0])
+    B = _bucket_of(n)
+    total = -(-n // B) * B
+    stT = _pair_mont_T(left, right, total)
+    outs = []
+    for off in range(0, total, B):
+        chunk = jax.lax.dynamic_slice(stT, (jnp.int32(0), jnp.int32(off)),
+                                      (WIDTH, B))
+        out = tpu_kernel.permute_mont_tpu(chunk, 1024, interpret=interpret)
+        outs.append(_digest_T(out))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out[:n] if total != n else out
+
+
 def hash_rows(mat) -> jnp.ndarray:
     """Hash each row of (n, w) canonical uint32 -> (n, 8) digests.
 
@@ -116,6 +222,8 @@ def hash_rows(mat) -> jnp.ndarray:
         return _hash_rows_np(np.asarray(mat, np.uint64))
     mat = jnp.asarray(mat)
     n, w = mat.shape
+    if w and _accelerated() and n >= 1024 and _fixed_enabled():
+        return _hash_rows_fixed(mat)
     if w and _accelerated() and _pallas_batch_ok(n):
         return _hash_rows_pallas_jit(mat)
     state = jnp.zeros((WIDTH, n), jnp.uint32)
@@ -151,6 +259,8 @@ def compress_pairs(left, right):
         return _compress_pairs_np(np.asarray(left, np.uint64),
                                   np.asarray(right, np.uint64))
     n = int(left.shape[0])
+    if _accelerated() and n >= 1024 and _fixed_enabled():
+        return _compress_fixed(jnp.asarray(left), jnp.asarray(right))
     if _accelerated() and _pallas_batch_ok(n):
         return _compress_pairs_pallas_jit(left, right)
     return _compress_pairs_jit(left, right)
@@ -184,3 +294,17 @@ def compress_s(left, right) -> tuple:
     state = list(left) + list(right)
     assert len(state) == WIDTH
     return tuple(_permute_1(state)[:DIGEST])
+
+
+# --- warmup wrapping (stark/warmup.py): the pallas hasher programs are
+# the single largest cold-start cost (measured ~4-5s load per shape,
+# 100s+ per fresh fib-100000 prove) ---------------------------------------
+_absorb_block = _wu.wrap("h.absorb", None, _absorb_block)
+_hash_rows_pallas_jit = _wu.wrap("h.rows", None, _hash_rows_pallas_jit)
+_compress_pairs_jit = _wu.wrap("h.cmp", None, _compress_pairs_jit)
+_compress_pairs_pallas_jit = _wu.wrap("h.cmpp", None,
+                                      _compress_pairs_pallas_jit)
+_prep_mont_T = _wu.wrap("h.prep", None, _prep_mont_T)
+_absorb_set = _wu.wrap("h.aset", None, _absorb_set)
+_digest_T = _wu.wrap("h.digT", None, _digest_T)
+_pair_mont_T = _wu.wrap("h.pair", None, _pair_mont_T)
