@@ -75,6 +75,10 @@ def main():
     ap.add_argument("--save-proof", metavar="PATH", default=None,
                     help="serialize the machine proof (utils/codec) to "
                          "PATH for offline verifier benchmarking")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="stop after the evaluation phase (no machine "
+                         "construction, no device warmup) — used for the "
+                         "interpreter-phase artifact (EVAL_r*.json)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -107,6 +111,14 @@ def main():
     t0 = time.perf_counter()
     toplevel, zstore, _ = build_lurk_toplevel()
     emit("build_toplevel", time.perf_counter() - t0)
+
+    if args.eval_only:
+        t0 = time.perf_counter()
+        result, queries = evaluate(toplevel, zstore, code)
+        dt = time.perf_counter() - t0
+        emit("evaluation", dt, iterations=num_iterations(toplevel, queries),
+             result=zstore.fmt(result))
+        return
 
     # start background executable warmup NOW so device program loads
     # overlap evaluation + trace generation + witness upload

@@ -98,6 +98,9 @@ class MicrochainServer:
         # reuse the Repl's toplevel/zstore/machine for verification
         self.repl = repl
         self.dir = microchains_dir()
+        # the first Transition request should not pay the verifier's
+        # per-process prep (AIR builds + constraint-VM linearization)
+        repl.machine().prepare_verifier(background=True)
 
     # -- persistence -------------------------------------------------------
 

@@ -70,8 +70,12 @@ class Repl:
 
         def _run():
             try:
+                m = self.machine()
+                # host verifier prep first (sub-second): a !(verify) right
+                # after startup should already find the constraint VMs built
+                m.prepare_verifier()
                 from ..stark import warmup
-                warmup.warm_machine(self.machine())
+                warmup.warm_machine(m)
             except Exception:
                 pass  # warmup is best-effort, never user-visible
 

@@ -30,10 +30,11 @@ Montgomery-form values by an integer constant matrix is the
 Montgomery form of the product), so results are bit-exact vs the
 production kernel (tests/test_poseidon_mxu.py).
 
-Verdict from measurement (see BENCHMARKS.md round-4 table): the serial
-lane-0 chain and the 25 tiny (24 x 45) matmuls leave the MXU almost
-idle while still paying the chain latency - measured well BELOW the
-production VPU kernel. Kept as the checked-in, tested record of why
+Verdict from measurement (BENCHMARKS.md "Experimental MXU kernel":
+21.5M perms/s on the live v5e = 0.381x the production VPU kernel,
+benches/mxu_probe.py): the serial lane-0 chain and the 25 tiny
+(24 x 45) matmuls leave the MXU almost idle while still paying the
+chain latency - well BELOW the production kernel. Kept as the checked-in, tested record of why
 the trick is not taken (reference partial-round structure:
 /root/reference/src/poseidon/config.rs:157-287).
 """

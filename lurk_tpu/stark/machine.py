@@ -487,6 +487,41 @@ class StarkMachine:
                              ValueError, TypeError, OverflowError,
                              ZeroDivisionError, AssertionError)
 
+    def prepare_verifier(self, background: bool = False):
+        """Build every per-process verifier artifact that does not depend
+        on a proof: per-chip symbolic AIRs, native constraint-VM programs,
+        and the native library handle. These are cached on the machine and
+        otherwise get built during the FIRST verify, where their pure-
+        Python cost also GIL-starves the background Merkle hash worker
+        (round-4 VERDICT #8: cold verify 2.4x warm). Callers with idle
+        time before the first verify (REPL startup, microchain server,
+        verify_bench setup) run this once; background=True does the work
+        on a daemon thread and returns immediately.
+
+        Thread-safety: builder_for/linearize writes are idempotent pure
+        derivations keyed by chip name; a concurrent first verify at
+        worst duplicates work, never sees a partially-built entry
+        (dict/setattr publication is atomic under the GIL)."""
+        if background:
+            import threading
+            t = threading.Thread(target=self.prepare_verifier, daemon=True,
+                                 name="verifier-prep")
+            t.start()
+            return t
+        from .constraint_vm import linearize
+        from ..lair import native
+        if native.native_available():
+            try:
+                native._vm_eval_fn()
+            except (OSError, AttributeError):
+                pass
+        for chip in self.chips:
+            b = self.builder_for(chip)
+            if getattr(b, "_vm_program", None) is None:
+                prog = linearize(b)
+                b._vm_program = prog
+        return None
+
     def verify(self, vk: VerifyingKey, proof: MachineProof,
                challenger: Challenger) -> bool:
         """Public verdict API.

@@ -96,13 +96,15 @@ def _enc(obj: Any, out: bytearray):
         out += struct.pack(">I", len(obj))
         out += obj
     elif isinstance(obj, list):
-        if not _pack_int_run(obj, False, out):
+        if not _pack_run_seq(obj, False, out) \
+                and not _pack_int_run(obj, False, out):
             out.append(0x07)
             out += struct.pack(">I", len(obj))
             for x in obj:
                 _enc(x, out)
     elif isinstance(obj, tuple):
-        if not _pack_int_run(obj, True, out):
+        if not _pack_run_seq(obj, True, out) \
+                and not _pack_int_run(obj, True, out):
             out.append(0x08)
             out += struct.pack(">I", len(obj))
             for x in obj:
@@ -172,76 +174,208 @@ def _pack_int_run(seq, is_tuple: bool, out: bytearray) -> bool:
     out.append(0x0C)
     out.append(flags)
     out += struct.pack(">I", n)
-    out += struct.pack(f">{n}{fmt}", *(int(x) for x in seq))
+    out += np.array([int(x) for x in seq], np.int64).astype(
+        ">u4" if fmt == "I" else ">i8").tobytes()
     return True
 
 
-class _Reader:
-    def __init__(self, buf: bytes):
-        self.buf = buf
-        self.pos = 0
+def _pack_run_seq(seq, is_tuple: bool, out: bytearray) -> bool:
+    """Sequences of equal-length homogeneous int runs (e.g. a Merkle path
+    as a list of 8-int digest tuples) encode as ONE block (tag 0x0D)
+    instead of one 0x0C run per element. A 4-shard fib(100000) proof holds
+    ~147k such digest runs; decoding them one _dec call each dominated the
+    cold-verify decode (round-5 profile). Decode is a single struct.unpack
+    + a slicing comprehension. Only int elements qualify (bool excluded,
+    matching _pack_int_run); min 2 runs of identical kind and length."""
+    n = len(seq)
+    if n < 2:
+        return False
+    first = seq[0]
+    inner_tuple = type(first) is tuple
+    if not inner_tuple and type(first) is not list:
+        return False
+    m = len(first)
+    if m < 1 or m > 255:
+        return False
+    lo = hi = None
+    for run in seq:
+        if type(run) is not type(first) or len(run) != m:
+            return False
+        for x in run:
+            if type(x) is not int and not (isinstance(x, np.integer)
+                                           and not isinstance(x, np.bool_)):
+                return False
+            v = int(x)
+            if lo is None or v < lo:
+                lo = v
+            if hi is None or v > hi:
+                hi = v
+    if 0 <= lo and hi < (1 << 32):
+        flags = 4 | (1 if is_tuple else 0) | (2 if inner_tuple else 0)
+        fmt = "I"
+    elif -(1 << 63) <= lo and hi < (1 << 63):
+        flags = 0 | (1 if is_tuple else 0) | (2 if inner_tuple else 0)
+        fmt = "q"
+    else:
+        return False
+    out.append(0x0D)
+    out.append(flags)
+    out += struct.pack(">I", n)
+    out += struct.pack(">B", m)
+    flat = [int(x) for run in seq for x in run]
+    out += np.array(flat, np.int64).astype(
+        ">u4" if fmt == "I" else ">i8").tobytes()
+    return True
 
-    def take(self, n: int) -> bytes:
-        if self.pos + n > len(self.buf):
-            raise CodecError("truncated input")
-        b = self.buf[self.pos:self.pos + n]
-        self.pos += n
-        return b
 
-    def u8(self) -> int:
-        return self.take(1)[0]
-
-    def u32(self) -> int:
-        return struct.unpack(">I", self.take(4))[0]
-
-    def u64(self) -> int:
-        return struct.unpack(">Q", self.take(8))[0]
+# decode threads a plain integer offset through struct.unpack_from calls
+# instead of a reader object: the per-call method overhead (take/u8/u32)
+# was ~half of a 4-shard fib(100000) proof decode (round-5 cold-verify
+# profile). struct.unpack_from range-checks the tail for us (struct.error
+# -> CodecError in decode()); explicit checks remain wherever a length is
+# used for slicing or allocation.
+_U32_AT = struct.Struct(">I").unpack_from
+_U64_AT = struct.Struct(">Q").unpack_from
+_I64_AT = struct.Struct(">q").unpack_from
 
 
-def _dec(r: _Reader, depth: int = 0) -> Any:
+def _dec(buf, pos: int, depth: int = 0):
     if depth > 200:
         raise CodecError("nesting too deep")
-    tag = r.u8()
-    if tag == 0x00:
-        return None
-    if tag == 0x01:
-        return True
-    if tag == 0x02:
-        return False
+    if pos >= len(buf):
+        raise CodecError("truncated input")
+    tag = buf[pos]
+    pos += 1
+    if tag == 0x0C:
+        if pos + 5 > len(buf):
+            raise CodecError("truncated input")
+        flags = buf[pos]
+        if flags > 3:
+            raise CodecError("bad packed-run flags")
+        (n,) = _U32_AT(buf, pos + 1)
+        if n > (1 << 28):
+            raise CodecError("packed run too long")
+        pos += 5
+        end = pos + n * (4 if flags & 2 else 8)
+        if end > len(buf):
+            raise CodecError("truncated input")
+        # np.frombuffer + tolist, not struct.unpack(f">{n}..."): the
+        # varying-count format strings blow struct's format cache and
+        # re-parsing them dominated decode (round-5 profile)
+        vals = np.frombuffer(buf, ">u4" if flags & 2 else ">i8",
+                             count=n, offset=pos).tolist()
+        return (tuple(vals) if flags & 1 else vals), end
+    if tag == 0x0D:
+        if pos + 6 > len(buf):
+            raise CodecError("truncated input")
+        flags = buf[pos]
+        if flags > 7:
+            raise CodecError("bad run-seq flags")
+        (n,) = _U32_AT(buf, pos + 1)
+        m = buf[pos + 5]
+        if m < 1 or n * m > (1 << 28):
+            raise CodecError("run-seq too long")
+        pos += 6
+        end = pos + n * m * (4 if flags & 4 else 8)
+        if end > len(buf):
+            raise CodecError("truncated input")
+        rows = np.frombuffer(buf, ">u4" if flags & 4 else ">i8",
+                             count=n * m, offset=pos).reshape(n, m).tolist()
+        if flags & 2:
+            runs = list(map(tuple, rows))
+        else:
+            runs = rows
+        return (tuple(runs) if flags & 1 else runs), end
     if tag == 0x03:
-        return struct.unpack(">q", r.take(8))[0]
+        v = _I64_AT(buf, pos)[0]
+        return v, pos + 8
+    if tag == 0x0B:
+        _ensure_registered()
+        nb = buf[pos] if pos < len(buf) else _trunc()
+        name = bytes(buf[pos + 1:pos + 1 + nb]).decode()
+        if len(name.encode()) != nb:
+            raise CodecError("truncated input")
+        pos += 1 + nb
+        cls = _REGISTRY.get(name)
+        if cls is None:
+            raise CodecError(f"unknown class {name!r}")
+        obj = object.__new__(cls)
+        setattr_ = object.__setattr__
+        for f in _FIELDS[name]:
+            v, pos = _dec(buf, pos, depth + 1)
+            setattr_(obj, f, v)
+        return obj, pos
+    if tag == 0x07:
+        (n,) = _U32_AT(buf, pos)
+        pos += 4
+        out = []
+        append = out.append
+        for _ in range(n):
+            v, pos = _dec(buf, pos, depth + 1)
+            append(v)
+        return out, pos
+    if tag == 0x08:
+        (n,) = _U32_AT(buf, pos)
+        pos += 4
+        out = []
+        append = out.append
+        for _ in range(n):
+            v, pos = _dec(buf, pos, depth + 1)
+            append(v)
+        return tuple(out), pos
+    if tag == 0x00:
+        return None, pos
+    if tag == 0x01:
+        return True, pos
+    if tag == 0x02:
+        return False, pos
     if tag == 0x04:
-        n = r.u32()
+        (n,) = _U32_AT(buf, pos)
         if n > (1 << 20):
             raise CodecError("bigint too large")
-        return int.from_bytes(r.take(n), "big", signed=True)
+        pos += 4
+        if pos + n > len(buf):
+            raise CodecError("truncated input")
+        return int.from_bytes(buf[pos:pos + n], "big", signed=True), pos + n
     if tag == 0x05:
-        return r.take(r.u32()).decode("utf-8")
+        (n,) = _U32_AT(buf, pos)
+        pos += 4
+        if pos + n > len(buf):
+            raise CodecError("truncated input")
+        return bytes(buf[pos:pos + n]).decode("utf-8"), pos + n
     if tag == 0x06:
-        return r.take(r.u32())
-    if tag == 0x07:
-        return [_dec(r, depth + 1) for _ in range(r.u32())]
-    if tag == 0x08:
-        return tuple(_dec(r, depth + 1) for _ in range(r.u32()))
+        (n,) = _U32_AT(buf, pos)
+        pos += 4
+        if pos + n > len(buf):
+            raise CodecError("truncated input")
+        return bytes(buf[pos:pos + n]), pos + n
     if tag == 0x09:
-        n = r.u32()
+        (n,) = _U32_AT(buf, pos)
+        pos += 4
         d = {}
         for _ in range(n):
-            k = _dec(r, depth + 1)
+            k, pos = _dec(buf, pos, depth + 1)
             if isinstance(k, (list, dict, np.ndarray)):
                 raise CodecError("unhashable dict key")
-            d[k] = _dec(r, depth + 1)
-        return d
+            d[k], pos = _dec(buf, pos, depth + 1)
+        return d, pos
     if tag == 0x0A:
-        code = r.take(2).decode()
+        code = bytes(buf[pos:pos + 2]).decode()
         dt = _NP_DTYPES.get(code)
         if dt is None:
             raise CodecError(f"bad dtype code {code}")
-        ndim = r.u8()
+        if pos + 3 > len(buf):
+            raise CodecError("truncated input")
+        ndim = buf[pos + 2]
+        pos += 3
         if ndim > 8:
             raise CodecError("too many dims")
-        shape = tuple(r.u64() for _ in range(ndim))
-        nb = r.u64()
+        shape = []
+        for _ in range(ndim):
+            shape.append(_U64_AT(buf, pos)[0])
+            pos += 8
+        (nb,) = _U64_AT(buf, pos)
+        pos += 8
         # exact product in python ints: a uint64 np.prod can wrap for
         # attacker-chosen dims, letting a bogus shape pass the size check
         expected = np.dtype(dt).itemsize
@@ -251,29 +385,16 @@ def _dec(r: _Reader, depth: int = 0) -> Any:
             expected *= d
         if nb != expected or nb > (1 << 33):
             raise CodecError("ndarray size mismatch")
-        return np.frombuffer(r.take(nb), dtype=dt).reshape(shape).copy()
-    if tag == 0x0B:
-        _ensure_registered()
-        name = r.take(r.u8()).decode()
-        cls = _REGISTRY.get(name)
-        if cls is None:
-            raise CodecError(f"unknown class {name!r}")
-        obj = object.__new__(cls)
-        for f in _FIELDS[name]:
-            object.__setattr__(obj, f, _dec(r, depth + 1))
-        return obj
-    if tag == 0x0C:
-        flags = r.u8()
-        if flags > 3:
-            raise CodecError("bad packed-run flags")
-        n = r.u32()
-        if n > (1 << 28):
-            raise CodecError("packed run too long")
-        wide = not (flags & 2)
-        vals = struct.unpack(f">{n}q" if wide else f">{n}I",
-                             r.take(n * (8 if wide else 4)))
-        return vals if flags & 1 else list(vals)
+        if pos + nb > len(buf):
+            raise CodecError("truncated input")
+        arr = np.frombuffer(buf, dtype=dt, count=nb // np.dtype(dt).itemsize,
+                            offset=pos).reshape(tuple(shape)).copy()
+        return arr, pos + nb
     raise CodecError(f"bad tag byte {tag:#x}")
+
+
+def _trunc():
+    raise CodecError("truncated input")
 
 
 def encode(obj: Any) -> bytes:
@@ -283,9 +404,8 @@ def encode(obj: Any) -> bytes:
 
 
 def decode(buf: bytes) -> Any:
-    r = _Reader(buf)
     try:
-        obj = _dec(r)
+        obj, pos = _dec(buf, 0)
     except CodecError:
         raise
     except (ValueError, TypeError, OverflowError, struct.error,
@@ -293,6 +413,6 @@ def decode(buf: bytes) -> Any:
         # malformed input must surface as CodecError, never as a stray
         # exception a network handler's narrow `except CodecError` misses
         raise CodecError(f"malformed input: {e}") from e
-    if r.pos != len(buf):
+    if pos != len(buf):
         raise CodecError("trailing bytes")
     return obj

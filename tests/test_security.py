@@ -195,6 +195,62 @@ def test_codec_malformed_input_is_codec_error():
             codec.decode(payload)
 
 
+def test_codec_run_seq_roundtrip():
+    """Tag 0x0D (round 5): sequences of equal-length int runs (Merkle
+    digest paths) pack as one block; every container-kind combination
+    and every fallback (ragged / mixed / non-int) must round-trip with
+    exact types."""
+    cases = [
+        [(1, 2, 3), (4, 5, 6)],                 # list of tuples
+        ([1, 2], [3, 4], [5, 6]),               # tuple of lists
+        ((1, 2, 3), (4, 5, 6)),                 # tuple of tuples
+        [[1, 2], [3, 4]],                       # list of lists
+        [(0, 2**32 - 1), (7, 1)],               # u32 boundary
+        [(-(2**63), 2**63 - 1), (0, 1)],        # i64 boundary
+        [(2**70, 1), (0, 5)],                   # bigint → per-element
+        [(1, 2), (3,)],                         # ragged → per-element
+        [(True, 2), (3, 4)],                    # bool excluded
+        [(1, 2), [3, 4]],                       # mixed kinds
+        [(1, 2)] * 10000,                       # long path
+    ]
+    for c in cases:
+        back = codec.decode(codec.encode(c))
+        assert back == c and type(back) is type(c), c
+        if c and isinstance(c[0], (list, tuple)):
+            assert type(back[0]) is type(c[0]), c
+
+
+def test_codec_run_seq_malformed():
+    import struct as _struct
+    bad = [
+        b"\x0d\x08" + _struct.pack(">I", 2) + b"\x02",     # bad flags
+        b"\x0d\x04" + _struct.pack(">I", 2) + b"\x00",     # zero run len
+        b"\x0d\x04" + _struct.pack(">I", 2) + b"\x02\x00", # truncated body
+    ]
+    for payload in bad:
+        with pytest.raises(codec.CodecError):
+            codec.decode(payload)
+
+
+def test_codec_legacy_flat_run_format_still_decodes():
+    """Blobs written before the 0x0D tag (one 0x0C run per digest) must
+    keep decoding: persisted proofs/commits are long-lived artifacts."""
+    import struct as _struct
+    digests = [(1, 2, 3), (4, 5, 6), (7, 8, 9)]
+    legacy = bytearray([0x07]) + _struct.pack(">I", len(digests))
+    for d in digests:
+        # pre-0x0D encoders only packed runs of >= 8 ints; a 3-tuple was
+        # tag 0x08 + per-element i64s
+        legacy += bytes([0x08]) + _struct.pack(">I", len(d))
+        for x in d:
+            legacy += bytes([0x03]) + _struct.pack(">q", x)
+    assert codec.decode(bytes(legacy)) == digests
+    run16 = tuple(range(16))
+    legacy2 = bytearray([0x0C, 0x03]) + _struct.pack(">I", 16)
+    legacy2 += _struct.pack(">16I", *run16)
+    assert codec.decode(bytes(legacy2)) == run16
+
+
 def test_verifier_bug_propagates_not_false(proven):
     """machine.verify narrows its exception handling to the hostile-proof
     family (VERDICT round-2 weak #6): an injected verifier BUG (here an
