@@ -214,8 +214,16 @@ def serve(repl, addr: str):
                     return
                 _send(self.request, server_state.handle(req))
 
-    with socketserver.ThreadingTCPServer((host, int(port)), Handler) as srv:
-        srv.allow_reuse_address = True
+    class Server(socketserver.ThreadingTCPServer):
+        # per-connection handler threads block in _recv until the client
+        # hangs up; non-daemon threads (the socketserver default) would
+        # pin process shutdown on every client that keeps its connection
+        # open (reference server handles one request per accept and never
+        # outlives a connection - microchain.rs:121-140)
+        daemon_threads = True
+        allow_reuse_address = True
+
+    with Server((host, int(port)), Handler) as srv:
         print(f"Microchain server listening on {addr}")
         srv.serve_forever()
 

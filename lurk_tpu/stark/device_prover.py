@@ -1882,17 +1882,17 @@ def device_fri_prove(codewords: Dict[int, jnp.ndarray], config: FriConfig,
             # ndarray.tolist() converts whole blocks at C speed;
             # per-element int() loops here were ~0.3s of a 100-query prove
             rows_l.append(rows.tolist())
-            paths_l.append(paths.tolist())
+            paths_l.append(np.ascontiguousarray(paths, np.uint32))
         else:
             openings = [host_merkle.open_at(tree, j) for j in js]
             rows_l.append([o.rows[0] for o in openings])
-            paths_l.append([o.path for o in openings])
+            paths_l.append(np.asarray([o.path for o in openings],
+                                      np.uint32))
     queries = []
     for qi in range(config.num_queries):
         steps = []
         for li in range(len(layer_trees)):
-            path = [tuple(d) for d in paths_l[li][qi]]
-            steps.append(FriQueryStep(rows_l[li][qi], path))
+            steps.append(FriQueryStep(rows_l[li][qi], paths_l[li][qi]))
         queries.append(FriQuery(steps))
     proof = FriProof([t.root for t in layer_trees], final,
                      pow_witness, queries, indices)
@@ -2048,20 +2048,22 @@ def device_open_rounds(rounds: List[DRound],
             rows, paths = next(opened_trees)
             per_tree.append((log_H, tree, rows, paths))
         # block tolist() conversions: per-element int() loops over
-        # 100 queries x trees x widths were ~2s of host time per prove
-        per_tree_l = [(log_H, tree, rows.tolist(), paths.tolist())
+        # 100 queries x trees x widths were ~2s of host time per prove;
+        # sibling paths stay ndarrays end-to-end (uint32, wire tag 0x0A)
+        per_tree_l = [(log_H, tree, rows.tolist(),
+                       np.ascontiguousarray(paths, np.uint32))
                       for log_H, tree, rows, paths in per_tree]
         for qi in range(len(fri_proof.query_indices)):
             entries = []
-            for log_H, tree, rows_l, paths_l in per_tree_l:
+            for log_H, tree, rows_l, paths_a in per_tree_l:
                 row = rows_l[qi]
                 mats_rows = []
                 off = 0
                 for wdt in tree.widths:
                     mats_rows.append(row[off:off + wdt])
                     off += wdt
-                path = [tuple(d) for d in paths_l[qi]]
-                entries.append((log_H, host_merkle.Opening(mats_rows, path)))
+                entries.append((log_H,
+                                host_merkle.Opening(mats_rows, paths_a[qi])))
             query_openings[qi].append(entries)
 
     _tlog("    query openings", t0)

@@ -113,7 +113,8 @@ def _pair_matrix(cw: np.ndarray) -> np.ndarray:
 @dataclass
 class FriQueryStep:
     pair_row: list              # 8 base values: [f(x) | f(-x)] flattened
-    path: list                  # sibling digests
+    path: "np.ndarray"          # (depth, 8) uint32 sibling digests
+                                # (legacy proofs decode as list of tuples)
 
 
 @codec.register

@@ -520,6 +520,15 @@ class StarkMachine:
             if getattr(b, "_vm_program", None) is None:
                 prog = linearize(b)
                 b._vm_program = prog
+        # FRI fold-domain inverse tables are challenge-independent and
+        # keyed only by (layer size, coset shift); first use cost ~60ms
+        # of a cold multi-shard verify. Warm every layer chain a codeword
+        # of this machine can plausibly produce (LDE logs 8..21).
+        from . import fri as _fri
+        for max_log in range(8, 22):
+            for layer in range(max_log - self.config.log_blowup):
+                _fri._inv_x_half(max_log - layer,
+                                 _fri.layer_shift(max_log, layer))
         return None
 
     def verify(self, vk: VerifyingKey, proof: MachineProof,

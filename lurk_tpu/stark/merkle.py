@@ -74,7 +74,11 @@ def commit(matrices: Sequence[np.ndarray]) -> MerkleTree:
 @dataclass
 class Opening:
     rows: List[list]                    # per matrix (original order)
-    path: List[Digest]                  # sibling digests bottom-up
+    # sibling digests bottom-up: (depth, 8) uint32 ndarray (wire tag
+    # 0x0A: one frombuffer decode). Proofs persisted before round 5
+    # decode as a list of 8-tuples; every consumer (len, iteration,
+    # np.asarray stacking) accepts both shapes.
+    path: np.ndarray
 
 
 def open_at(tree: MerkleTree, index: int) -> Opening:
@@ -84,11 +88,13 @@ def open_at(tree: MerkleTree, index: int) -> Opening:
     for m, h in zip(tree.matrices, heights):
         shift = (max_h // h).bit_length() - 1
         rows.append([int(x) for x in m[index >> shift]])
-    path = []
     idx = index
+    sibs = []
     for level in tree.levels[:-1]:
-        path.append(tuple(int(x) for x in level[idx ^ 1]))
+        sibs.append(level[idx ^ 1])
         idx >>= 1
+    path = (np.asarray(sibs).astype(np.uint32) if sibs
+            else np.zeros((0, 8), np.uint32))
     return Opening(rows, path)
 
 
@@ -130,8 +136,8 @@ class _Job:
         # fallback reduced mod p, which diverged for limbs >= 2^32
         # (ADVICE round 4) - truncate-then-hash is the one behavior now
         self.paths = (np.asarray(
-            [[list(d) for d in o.path] for o in openings],
-            np.uint64) & np.uint64(0xFFFFFFFF)) \
+            [np.asarray(o.path, np.uint64) for o in openings])
+            & np.uint64(0xFFFFFFFF)) \
             if self.depth else None                         # (nq, depth, 8)
         # absorbed shorter matrices: step -> stacked row matrix
         self.tacks = {}

@@ -52,7 +52,8 @@ def _assert_proofs_equal(a, b):
         for qa, qb in zip(fa.queries, fb.queries):
             for sa_, sb_ in zip(qa.steps, qb.steps):
                 assert list(sa_.pair_row) == list(sb_.pair_row)
-                assert list(sa_.path) == list(sb_.path)
+                assert np.array_equal(np.asarray(sa_.path, np.uint64),
+                                      np.asarray(sb_.path, np.uint64))
         qo_a, qo_b = sa.pcs_proof.query_openings, sb.pcs_proof.query_openings
         assert len(qo_a) == len(qo_b)
         for ra, rb in zip(qo_a, qo_b):
@@ -61,8 +62,8 @@ def _assert_proofs_equal(a, b):
                     assert la == lb
                     assert [list(r) for r in oa.rows] == \
                         [list(r) for r in ob.rows]
-                    assert [tuple(p) for p in oa.path] == \
-                        [tuple(p) for p in ob.path]
+                    assert np.array_equal(np.asarray(oa.path, np.uint64),
+                                          np.asarray(ob.path, np.uint64))
 
 
 def test_device_proof_bit_exact_factorial():

@@ -63,9 +63,9 @@ def test_tampered_fri_path_rejected(proven):
     machine, vk, proof = proven
     forged = copy.deepcopy(proof)
     q = forged.shard_proofs[0].pcs_proof.fri_proof.queries[0]
-    if not q.steps[0].path:
+    if len(q.steps[0].path) == 0:
         pytest.skip("depth-0 FRI layer")
-    d = list(q.steps[0].path[0])
+    d = [int(x) for x in q.steps[0].path[0]]
     d[0] = (d[0] + 1) % 2013265921
     q.steps[0].path[0] = tuple(d)
     assert not _reverify(machine, vk, forged)
@@ -83,7 +83,7 @@ def test_tampered_query_opening_path_rejected(proven):
     machine, vk, proof = proven
     forged = copy.deepcopy(proof)
     opening = forged.shard_proofs[0].pcs_proof.query_openings[0][0][0][1]
-    d = list(opening.path[0])
+    d = [int(x) for x in opening.path[0]]
     d[0] = (d[0] + 1) % 2013265921
     opening.path[0] = tuple(d)
     assert not _reverify(machine, vk, forged)
